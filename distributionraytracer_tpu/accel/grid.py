@@ -1,0 +1,283 @@
+"""Uniform-grid accelerator as an array program.
+
+Build (host, NumPy) mirrors ``Grid::Build`` (grid.cpp:30-97): world AABB +
+EPSILON pad, cell counts ``n = m * w * (N/V)^(1/3) + 1`` with ``m = 2``
+(rayAccelerator.h:30), objects multi-inserted into every overlapped cell.
+The cell lists are flattened CSR-style into ``(cell_start, cell_objs)``
+int32 arrays — HBM-resident, static-shaped.
+
+Traversal is the Amanatides & Woo 3D-DDA (grid.cpp:100-306) written as a
+scalar ``lax.while_loop`` state machine and ``vmap``-ed over the ray batch.
+Each iteration either tests one object of the current cell or advances the
+DDA, so all lanes execute uniform work.  Reference semantics preserved:
+
+- ``Init_Traverse`` slab test with IEEE infinity handling for zero direction
+  components (grid.cpp:124-152) and per-axis ``t_next``/step/stop setup;
+- closest-hit early exit when ``hitRec.t < t_next`` (grid.cpp:277-304);
+- walking out of the grid returns *miss* even if a hit was recorded beyond
+  the current cell (matters for the fake (-1,1) plane bboxes);
+- shadow variant: any object with ``t < dist`` occludes; a failed
+  Init_Traverse counts as occluded (grid.cpp:321-324).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distributionraytracer_tpu.ops.common import EPSILON, FLT_MAX
+from distributionraytracer_tpu.ops.intersect import hit_packed
+from distributionraytracer_tpu.scene.types import (
+    OBJ_BOX, OBJ_PLANE, OBJ_SPHERE, OBJ_TRIANGLE, SceneData,
+)
+
+
+def object_bboxes(scene: SceneData) -> np.ndarray:
+    """Per-object AABBs in reference semantics, host-side.
+
+    - sphere: center +- r (scene.cpp:201-206)
+    - triangle: vertex min/max padded EPSILON in the ctor (scene.cpp:14-35)
+    - plane: the *default* Object bbox (-1,-1,-1)..(1,1,1) — Plane never
+      overrides GetBoundingBox (scene.h:116, 125-136); a reference bug kept
+      for fidelity
+    - box: min/max (scene.cpp:214-216)
+    Returns (O, 2, 3) float32.
+    """
+    st = scene.static
+    g = lambda a: np.asarray(jax.device_get(a), np.float32)
+    sph_c, sph_r = g(scene.sph_center), g(scene.sph_radius)
+    tri_v0, tri_e1, tri_e2 = g(scene.tri_v0), g(scene.tri_e1), g(scene.tri_e2)
+    box_min, box_max = g(scene.box_min), g(scene.box_max)
+    out = np.zeros((st.n_objects, 2, 3), np.float32)
+    for gid, (typ, ti) in enumerate(zip(st.obj_types, st.obj_tidx)):
+        if typ == OBJ_SPHERE:
+            out[gid, 0] = sph_c[ti] - sph_r[ti]
+            out[gid, 1] = sph_c[ti] + sph_r[ti]
+        elif typ == OBJ_TRIANGLE:
+            pts = np.stack([tri_v0[ti], tri_v0[ti] + tri_e1[ti],
+                            tri_v0[ti] + tri_e2[ti]])
+            out[gid, 0] = pts.min(0) - EPSILON
+            out[gid, 1] = pts.max(0) + EPSILON
+        elif typ == OBJ_PLANE:
+            out[gid, 0] = -1.0
+            out[gid, 1] = 1.0
+        else:
+            out[gid, 0] = box_min[ti]
+            out[gid, 1] = box_max[ti]
+    return out
+
+
+class GridArrays(NamedTuple):
+    bbox_min: jnp.ndarray  # (3,)
+    bbox_max: jnp.ndarray  # (3,)
+    ncells: jnp.ndarray  # (3,) i32 (nx, ny, nz)
+    cell_start: jnp.ndarray  # (nx*ny*nz + 1,) i32
+    cell_objs: jnp.ndarray  # (total,) i32 global object ids
+    # packed primitive table (built per trace from the scene)
+
+
+def build_grid(scene: SceneData, m: float = 2.0) -> GridArrays:
+    st = scene.static
+    bb = object_bboxes(scene)
+    if st.n_objects == 0:
+        raise ValueError("empty scene")
+    gmin = bb[:, 0].min(0) - EPSILON
+    gmax = bb[:, 1].max(0) + EPSILON
+    w = (gmax - gmin).astype(np.float64)
+    s = (st.n_objects / (w[0] * w[1] * w[2])) ** (1.0 / 3.0)
+    n = (m * w * s + 1).astype(np.int64)  # int truncation as in grid.cpp:63-65
+    nx, ny, nz = int(n[0]), int(n[1]), int(n[2])
+
+    def cell_of(p):
+        # clamp((p - min) * n / (max - min), 0, n-1), truncated (grid.cpp:80-85)
+        f = (p - gmin) * n / (gmax - gmin)
+        return np.clip(f, 0, n - 1).astype(np.int64)
+
+    lo = cell_of(bb[:, 0])
+    hi = cell_of(bb[:, 1])
+    counts = np.zeros(nx * ny * nz, np.int64)
+    entries_cell = []
+    entries_obj = []
+    for gid in range(st.n_objects):
+        xs = np.arange(lo[gid, 0], hi[gid, 0] + 1)
+        ys = np.arange(lo[gid, 1], hi[gid, 1] + 1)
+        zs = np.arange(lo[gid, 2], hi[gid, 2] + 1)
+        cz, cy, cx = np.meshgrid(zs, ys, xs, indexing="ij")
+        cells = (cx + nx * cy + nx * ny * cz).ravel()
+        entries_cell.append(cells)
+        entries_obj.append(np.full(len(cells), gid, np.int64))
+    cell_ids = np.concatenate(entries_cell)
+    obj_ids = np.concatenate(entries_obj)
+    # CSR by cell, preserving object insertion order within a cell
+    order = np.argsort(cell_ids, kind="stable")
+    cell_ids = cell_ids[order]
+    obj_ids = obj_ids[order]
+    counts = np.bincount(cell_ids, minlength=nx * ny * nz)
+    start = np.zeros(nx * ny * nz + 1, np.int64)
+    np.cumsum(counts, out=start[1:])
+
+    return GridArrays(
+        bbox_min=jnp.asarray(gmin, jnp.float32),
+        bbox_max=jnp.asarray(gmax, jnp.float32),
+        ncells=jnp.asarray([nx, ny, nz], jnp.int32),
+        cell_start=jnp.asarray(start, jnp.int32),
+        cell_objs=jnp.asarray(obj_ids, jnp.int32))
+
+
+# --------------------------------------------------------------- traversal
+def _init_traverse(grid: GridArrays, o, d):
+    """Init_Traverse (grid.cpp:100-244) for one ray. Returns dict of scalars."""
+    a = 1.0 / d  # +-inf on zeros, sign of zero matters (as in C++)
+    lo = grid.bbox_min
+    hi = grid.bbox_max
+    tmin = jnp.where(a >= 0, (lo - o) * a, (hi - o) * a)
+    tmax = jnp.where(a >= 0, (hi - o) * a, (lo - o) * a)
+    t0 = jnp.max(tmin)
+    t1 = jnp.min(tmax)
+    ok = ~((t0 > t1) | (t1 < 0))
+
+    n = grid.ncells
+    nf = n.astype(jnp.float32)
+    inside = jnp.all((o > lo) & (o < hi))
+    p = jnp.where(inside, o, o + d * t0)
+    cell = jnp.clip(((p - lo) * nf / (hi - lo)).astype(jnp.int32), 0, n - 1)
+
+    dt = (tmax - tmin) / nf
+    pos = d > 0
+    t_next = jnp.where(
+        pos, tmin + (cell + 1).astype(jnp.float32) * dt,
+        tmin + (n - cell).astype(jnp.float32) * dt)
+    t_next = jnp.where(d == 0.0, FLT_MAX, t_next)
+    step = jnp.where(pos, 1, -1).astype(jnp.int32)
+    stop = jnp.where(pos, n, -1).astype(jnp.int32)
+    return ok, cell, dt, t_next, step, stop
+
+
+def make_grid_intersectors(scene: SceneData, grid: GridArrays,
+                           motion_blur: bool = False):
+    """Closest-hit + shadow functions (Intersectors-compatible)."""
+    obj_data, obj_types, obj_mats = scene.packed_objects()
+    cs, co = grid.cell_start, grid.cell_objs
+    n = grid.ncells
+
+    def _cell_linear(cell):
+        return cell[0] + n[0] * cell[1] + n[0] * n[1] * cell[2]
+
+    def closest_one(o, d, time):
+        ok, cell, dt, t_next, step, stop = _init_traverse(grid, o, d)
+
+        cid = _cell_linear(cell)
+        state = dict(
+            cell=cell, t_next=t_next,
+            ptr=jnp.where(ok, cs[cid], 0), end=jnp.where(ok, cs[cid + 1], 0),
+            best_t=FLT_MAX, best_n=jnp.zeros(3), best_obj=jnp.int32(-1),
+            active=ok, found=jnp.array(False))
+
+        def cond(s):
+            return s["active"]
+
+        def body(s):
+            has_obj = s["ptr"] < s["end"]
+
+            # --- test one object ---
+            gid = co[jnp.clip(s["ptr"], 0, co.shape[0] - 1)]
+            t, nrm = hit_packed(o, d, time, obj_data[gid], obj_types[gid],
+                                motion_blur)
+            better = has_obj & (t < s["best_t"])
+            best_t = jnp.where(better, t, s["best_t"])
+            best_n = jnp.where(better, nrm, s["best_n"])
+            best_obj = jnp.where(better, gid, s["best_obj"])
+            ptr = jnp.where(has_obj, s["ptr"] + 1, s["ptr"])
+
+            # --- advance DDA when the cell is exhausted ---
+            adv = ~has_obj
+            tn = s["t_next"]
+            axis = jnp.where(
+                (tn[0] < tn[1]) & (tn[0] < tn[2]), 0,
+                jnp.where(tn[1] < tn[2], 1, 2))
+            hit_now = best_t < tn[axis]
+            onehot = jax.nn.one_hot(axis, 3, dtype=jnp.float32)
+            onehot_i = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+            t_next2 = jnp.where(adv & ~hit_now, tn + onehot * dt, tn)
+            cell2 = jnp.where(adv & ~hit_now, s["cell"] + onehot_i * step,
+                              s["cell"])
+            out = cell2[axis] == stop[axis]
+            stepping = adv & ~hit_now & ~out
+            cid2 = _cell_linear(jnp.clip(cell2, 0, n - 1))
+            ptr = jnp.where(stepping, cs[cid2], ptr)
+            end = jnp.where(stepping, cs[cid2 + 1], s["end"])
+
+            found = s["found"] | (adv & hit_now)
+            active = s["active"] & ~(adv & (hit_now | out))
+            return dict(cell=cell2, t_next=t_next2, ptr=ptr, end=end,
+                        best_t=best_t, best_n=best_n, best_obj=best_obj,
+                        active=active, found=found)
+
+        s = jax.lax.while_loop(cond, body, state)
+        hit = s["found"]
+        return (hit, jnp.where(hit, s["best_t"], FLT_MAX), s["best_n"],
+                jnp.where(hit, s["best_obj"], -1))
+
+    def shadow_one(o, d, dist):
+        ok, cell, dt, t_next, step, stop = _init_traverse(grid, o, d)
+
+        cid = _cell_linear(cell)
+        state = dict(
+            cell=cell, t_next=t_next,
+            ptr=jnp.where(ok, cs[cid], 0), end=jnp.where(ok, cs[cid + 1], 0),
+            occluded=~ok,  # Init failure counts as shadowed (grid.cpp:321-324)
+            active=ok)
+
+        def cond(s):
+            return s["active"]
+
+        def body(s):
+            has_obj = s["ptr"] < s["end"]
+            gid = co[jnp.clip(s["ptr"], 0, co.shape[0] - 1)]
+            t, _ = hit_packed(o, d, jnp.zeros(()), obj_data[gid],
+                              obj_types[gid], motion_blur)
+            occ = has_obj & (t < dist)
+            ptr = jnp.where(has_obj, s["ptr"] + 1, s["ptr"])
+
+            adv = ~has_obj
+            tn = s["t_next"]
+            axis = jnp.where(
+                (tn[0] < tn[1]) & (tn[0] < tn[2]), 0,
+                jnp.where(tn[1] < tn[2], 1, 2))
+            onehot = jax.nn.one_hot(axis, 3, dtype=jnp.float32)
+            onehot_i = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+            t_next2 = jnp.where(adv, tn + onehot * dt, tn)
+            cell2 = jnp.where(adv, s["cell"] + onehot_i * step, s["cell"])
+            out = cell2[axis] == stop[axis]
+            stepping = adv & ~out
+            cid2 = _cell_linear(jnp.clip(cell2, 0, n - 1))
+            ptr = jnp.where(stepping, cs[cid2], ptr)
+            end = jnp.where(stepping, cs[cid2 + 1], s["end"])
+
+            occluded = s["occluded"] | occ
+            active = s["active"] & ~occ & ~(adv & out)
+            return dict(cell=cell2, t_next=t_next2, ptr=ptr, end=end,
+                        occluded=occluded, active=active)
+
+        s = jax.lax.while_loop(cond, body, state)
+        return s["occluded"]
+
+    vmapped_closest = jax.vmap(closest_one)
+    vmapped_shadow = jax.vmap(shadow_one)
+
+    def closest(o, d, time):
+        from distributionraytracer_tpu.ops.intersect import HitResult
+        hit, t, nrm, gid = vmapped_closest(o, d, time)
+        mat = obj_mats[jnp.maximum(gid, 0)]
+        return HitResult(hit=hit, t=t, normal=nrm, obj_id=gid, mat_id=mat)
+
+    def shadow(o, d, dist, exclude_obj):
+        del exclude_obj  # grid traversal has no self-exclusion
+        return vmapped_shadow(o, d, dist)
+
+    from distributionraytracer_tpu.integrator.whitted import Intersectors
+    return Intersectors(closest, shadow)

@@ -1,0 +1,53 @@
+"""Render configuration.
+
+The reference drives these knobs from compile-time flags and the P3F scene
+file (main.cpp:29-39, scene.cpp:489-693).  Here they live in one dataclass.
+All fields are static (hashable) so the config can be closed over by ``jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static knobs of a render.
+
+    Mirrors the reference's flag set:
+
+    - ``max_depth``:      ``#define MAX_DEPTH 4`` (main.cpp:34).
+    - ``spp``:            samples per pixel; ``0`` selects the no-AA branch
+                          (main.cpp:674-703), ``>0`` the stratified-jitter AA
+                          branch (main.cpp:618-671).
+    - ``dof``:            thin-lens lens sampling (main.cpp:655-660).
+    - ``motion_blur``:    per-sample time jitter + moving sphere centers
+                          (main.cpp:549-551, scene.cpp:158-162).
+    - ``max_samples``:    progressive-mode cap, ``MAX_SAMPLES`` (main.cpp:39).
+    - ``shadow_mode``:    'reference' reproduces the reference's per-accel
+                          shadow-distance conventions, including the quirk
+                          that NONE and GRID compare against a normalized
+                          direction (length 1.0, main.cpp:411-440); 'correct'
+                          uses the true light distance everywhere.
+    - ``tile_rays``:      wavefront tile size (pixel-samples per kernel
+                          launch).  Purely a performance knob.
+    """
+
+    max_depth: int = 4
+    spp: int = 0
+    dof: bool = False
+    motion_blur: bool = False
+    max_samples: int = 10000
+    shadow_mode: str = "reference"  # 'reference' | 'correct'
+    tile_rays: int = 65536
+    # Path-tracer knobs (P3D_RT.glsl:581, 739)
+    max_bounces: int = 10
+    russian_roulette: bool = True
+
+    def __post_init__(self):
+        if self.shadow_mode not in ("reference", "correct"):
+            raise ValueError(f"bad shadow_mode: {self.shadow_mode}")
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,313 @@
+"""Whitted/distribution integrator as a bounded, branchless ray tree.
+
+The reference's ``rayTracing`` (main.cpp:294-521) is a depth-bounded recursion
+that spawns at most two children per hit (a refraction ray when ``T == 1``
+and no TIR, main.cpp:465-498; a reflection ray when ``ks > 0``,
+main.cpp:504-518) and clamps every child's color at the call site.  Because
+the clamp is non-linear, contributions cannot be folded top-down into a
+throughput product; instead we evaluate the *complete* fixed binary tree:
+
+- node ``i``'s children are ``2i+1`` (refraction) and ``2i+2`` (reflection);
+- a top-down pass expands rays level by level (``max_depth + 1`` levels,
+  i.e. 31 nodes for the default depth 4), batched over rays x nodes;
+- a bottom-up pass combines colors with the exact clamp placement:
+  ``clamp(direct + clamp(c_refr) * beer * (1-F) + clamp(c_refl) * F * cs)``.
+
+Dead nodes are masked lanes; XLA sees a static unrolled program with no
+data-dependent control flow.
+
+Shading semantics preserved from main.cpp:360-520, notably:
+
+- normal flip when hit from inside (main.cpp:363-364);
+- per-light Blinn-Phong ``kd*cd*NdotL + ks*cs*NdotH^shine`` *ignoring the
+  light's color* (main.cpp:446-449) — every P3D light is white;
+- shadow-ray distance conventions per accel type, including the dangling-else
+  quirk that leaves GRID with a normalized direction (main.cpp:411-420), so
+  NONE and GRID compare occluder ``t`` against ~1.0 while BVH uses the real
+  distance (set ``cfg.shadow_mode='correct'`` to fix);
+- refraction only when ``T == 1`` exactly; Schlick cos selection
+  (``cos_t`` if ``ior1 > ior2`` else ``cos_i``, main.cpp:477-482); Beer term
+  ``exp((1-cd) * (-t))`` applied when exiting a medium (main.cpp:491-494);
+- TIR (``T > 0`` and ``sin_t >= 1``) forcing ``F = 1`` (main.cpp:499-501);
+- reflection fuzz with roughness hardwired to 0.0 (main.cpp:507-509);
+- children rays carry ``time = 0`` (Ray ctor default) — motion blur only
+  affects primary rays;
+- recursive calls receive the *world-space* position of the last light as
+  their ``lightSample`` (main.cpp:489, 512) — a reference quirk we keep.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from distributionraytracer_tpu.config import RenderConfig
+from distributionraytracer_tpu.ops.common import (
+    EPSILON, clamp_color, dot, normalize, safe_div, safe_normalize,
+    safe_sqrt,
+)
+from distributionraytracer_tpu.ops.cubemap import skybox_color
+from distributionraytracer_tpu.ops.intersect import (
+    HitResult, any_hit_brute, closest_hit_brute,
+)
+from distributionraytracer_tpu.scene.types import SceneData
+
+OFFSET = 1e-4  # secondary-ray offset (main.cpp:378)
+
+
+class Intersectors(NamedTuple):
+    """Closest-hit / shadow functions for one accel structure.
+
+    ``closest(o, d, time) -> HitResult``
+    ``shadow(o, d, dist, exclude_obj) -> occluded (R,) bool`` where ``d`` is
+    the direction with the accel's own convention already applied.
+    """
+
+    closest: Callable
+    shadow: Callable
+
+
+def brute_intersectors(scene: SceneData, cfg: RenderConfig) -> Intersectors:
+    """Accel NONE: linear scans (main.cpp:310-336, 432-440)."""
+
+    def closest(o, d, time):
+        return closest_hit_brute(scene, o, d, time, cfg.motion_blur)
+
+    def shadow(o, d, dist, exclude_obj):
+        time = jnp.zeros(o.shape[:-1], jnp.float32)
+        return any_hit_brute(scene, o, d, time, dist, exclude_obj,
+                             cfg.motion_blur)
+
+    return Intersectors(closest, shadow)
+
+
+def _shadow_terms(scene, cfg, accel, hit_p, N, light_pos, inter):
+    """One light's occlusion test with the reference's per-accel quirks."""
+    from distributionraytracer_tpu.ops.common import safe_normalize as _sn
+    L_un = light_pos - hit_p
+    dist_true = jnp.linalg.norm(L_un, axis=-1)
+    L = _sn(L_un)
+
+    if cfg.shadow_mode == "correct":
+        return L, dist_true
+    # reference mode (main.cpp:411-440): BVH uses the unnormalized direction
+    # whose length is the true distance; NONE and GRID end up with a
+    # normalized direction so their max-dist degenerates to |L| == 1.0 (the
+    # dangling-else bug).  Each Intersectors.shadow applies its own occluder
+    # comparison (< dist for NONE/GRID, <= dist + EPSILON for BVH,
+    # bvh.cpp:376).
+    from distributionraytracer_tpu.scene.types import ACCEL_BVH
+    if accel == ACCEL_BVH:
+        return L, dist_true
+    return L, jnp.ones_like(dist_true)
+
+
+def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
+                  light_sample, inter: Optional[Intersectors] = None):
+    """Trace a batch of primary rays; returns (color (R,3), stats dict).
+
+    ``light_sample``: (R,3) per-ray sample for quad lights (only .x/.y used),
+    exactly the ``lightSample`` argument of ``rayTracing`` (main.cpp:294).
+    """
+    if inter is None:
+        inter = brute_intersectors(scene, cfg)
+    st = scene.static
+    R = o.shape[0]
+    levels = cfg.max_depth + 1  # depth values 1..max_depth+1
+
+    # ---------------- top-down expansion ----------------
+    # per-level lists of per-node arrays, shape (R, n_nodes_at_level, ...)
+    lvl = []  # dicts
+    node_o = o[:, None, :]
+    node_d = d[:, None, :]
+    node_t = time[:, None]
+    node_ior = jnp.ones((R, 1), jnp.float32)
+    node_ls = light_sample[:, None, :]
+    node_valid = jnp.ones((R, 1), bool)
+    rays_traced = jnp.zeros((), jnp.float32)
+    shadow_rays = jnp.zeros((), jnp.float32)
+
+    for level in range(levels):
+        depth = level + 1
+        n = node_o.shape[1]
+        flat = lambda a: a.reshape((R * n,) + a.shape[2:])
+        hit: HitResult = inter.closest(flat(node_o), flat(node_d), flat(node_t))
+        res = _shade_node(
+            scene, cfg, inter,
+            flat(node_o), flat(node_d), flat(node_t), flat(node_ior),
+            flat(node_ls), flat(node_valid), hit,
+            spawn_children=(depth <= cfg.max_depth))
+        unflat = lambda a: a.reshape((R, n) + a.shape[1:])
+        lvl.append({k: unflat(v) for k, v in res.items()})
+        rays_traced += jnp.sum(flat(node_valid).astype(jnp.float32))
+        shadow_rays += st.n_lights * jnp.sum(
+            (flat(node_valid) & hit.hit).astype(jnp.float32))
+
+        if depth <= cfg.max_depth:
+            cur = lvl[-1]
+            # children: interleave (refr, refl) per node -> 2n nodes
+            def interleave(a, b):
+                stacked = jnp.stack([a, b], axis=2)  # (R, n, 2, ...)
+                return stacked.reshape((R, 2 * n) + a.shape[2:])
+            node_o = interleave(cur["refr_o"], cur["refl_o"])
+            node_d = interleave(cur["refr_d"], cur["refl_d"])
+            node_ior = interleave(cur["refr_ior"], cur["refl_ior"])
+            node_ls = interleave(cur["child_ls"], cur["child_ls"])
+            node_valid = interleave(cur["refr_valid"], cur["refl_valid"])
+            node_t = jnp.zeros((R, 2 * n), jnp.float32)  # children time = 0
+
+    # ---------------- bottom-up combine ----------------
+    # leaf level: depth > max_depth would return direct unclamped, but the
+    # parent clamps at the call site; miss returns clamp(bg).
+    child_color = None
+    for level in reversed(range(levels)):
+        cur = lvl[level]
+        direct = cur["direct"]
+        if child_color is None:
+            color = direct
+        else:
+            c_refr = clamp_color(child_color[:, 0::2])
+            c_refl = clamp_color(child_color[:, 1::2])
+            color = clamp_color(
+                direct
+                + c_refr * cur["refr_weight"]
+                + c_refl * cur["refl_weight"])
+        color = jnp.where(cur["miss"][..., None], cur["miss_color"], color)
+        color = jnp.where(cur["valid"][..., None], color, 0.0)
+        child_color = color
+
+    return child_color[:, 0], {"rays_traced": rays_traced,
+                               "shadow_rays": shadow_rays}
+
+
+def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
+                o, d, time, ior1, light_sample, valid, hit: HitResult,
+                spawn_children: bool):
+    """Shade one tree level (flattened rays) and emit child specs."""
+    st = scene.static
+    accel = st.accel
+    Rn = o.shape[0]
+
+    ior1 = ior1.reshape(Rn)
+    hit_mask = hit.hit & valid
+    # miss lanes carry t = FLT_MAX and a zero normal; use safe values so the
+    # backward pass through masked-out lanes stays NaN-free
+    t_hit = jnp.where(hit.hit, hit.t, 1.0)
+    hit_p = o + d * t_hit[..., None]
+    N = safe_normalize(hit.normal)
+    outside = dot(d, N) < 0.0
+    N = jnp.where(outside[..., None], N, -N)
+    V = -normalize(d)
+
+    m = hit.mat_id
+    cd = scene.mat_cd[m]
+    cs = scene.mat_cs[m]
+    kd = scene.mat_kd[m]
+    ks = scene.mat_ks[m]
+    kr = scene.mat_kr[m]
+    shine = scene.mat_shine[m]
+    trans = scene.mat_T[m]
+    mat_ior = scene.mat_ior[m]
+
+    # ---------------- direct lighting (main.cpp:383-451) ----------------
+    direct = jnp.zeros((Rn, 3), jnp.float32)
+    last_light_pos = jnp.zeros((Rn, 3), jnp.float32)
+    for j in range(st.n_lights):
+        # quad lights sample pos + e1*sx + e2*sy (scene.h:103-106);
+        # punctual lights use pos.  Quad-ness is static per scene.
+        if st.light_quad[j]:
+            light_pos = (scene.light_pos[j]
+                         + scene.light_e1[j] * light_sample[..., 0:1]
+                         + scene.light_e2[j] * light_sample[..., 1:2])
+        else:
+            light_pos = jnp.broadcast_to(scene.light_pos[j], (Rn, 3))
+        last_light_pos = light_pos
+
+        L_un = light_pos - hit_p
+        Lb = safe_normalize(L_un)
+        H = safe_normalize(Lb + V)
+        NdotL = jnp.maximum(dot(N, Lb), 0.0)
+        NdotH = jnp.maximum(dot(N, H), 0.0)
+
+        sdir, sdist = _shadow_terms(scene, cfg, accel, hit_p, N, light_pos,
+                                    inter)
+        occluded = inter.shadow(hit_p + N * OFFSET, sdir, sdist, hit.obj_id)
+        lit = hit_mask & ~occluded
+        # NdotH floor keeps pow's backward (x^s log x) finite at x = 0
+        # without changing the forward value (1e-12^shine underflows to 0)
+        spec = jnp.power(jnp.maximum(NdotH, 1e-12), shine)
+        contrib = (cd * (kd * NdotL)[..., None]
+                   + cs * (ks * spec)[..., None])
+        direct = direct + jnp.where(lit[..., None], contrib, 0.0)
+
+    # ---------------- miss color (main.cpp:328-357) ----------------
+    if st.has_skybox:
+        missc = clamp_color(skybox_color(scene.sky_faces, scene.sky_res, d))
+    else:
+        missc = jnp.broadcast_to(clamp_color(scene.bg_color), (Rn, 3))
+
+    out = {
+        "direct": direct,
+        "miss": valid & ~hit.hit,
+        "miss_color": missc,
+        "valid": valid,
+    }
+
+    # ---------------- children (main.cpp:456-518) ----------------
+    ior2 = jnp.where(outside, mat_ior, 1.0)
+    eta = ior1 / ior2
+    VdotN = dot(V, N)
+    Vt = N * VdotN[..., None] - V
+    sin_i = jnp.linalg.norm(Vt, axis=-1)
+    t_hat = safe_div(Vt, sin_i[..., None])
+    sin_t = eta * sin_i
+    no_tir = sin_t < 1.0
+    cos_t = safe_sqrt(1.0 - sin_t * sin_t)
+    # limit sin_i -> 0: refraction dir -> -N (reference yields NaN there;
+    # measure-zero deviation, keeps gradients finite).  Select *before*
+    # normalize so dead lanes don't feed 0-vectors into the backward pass.
+    refr_num = jnp.where((sin_i > 0.0)[..., None],
+                         t_hat * sin_t[..., None] - N * cos_t[..., None], -N)
+    refr_dir = safe_normalize(refr_num)
+
+    cos_i = VdotN
+    cos_theta = jnp.where(ior1 > ior2, cos_t, cos_i)
+    r0 = ((ior1 - ior2) / (ior1 + ior2)) ** 2
+    fresnel = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+
+    do_refr = hit_mask & (trans == 1.0) & no_tir
+    # kr_fresnel: kr by default; Schlick when refracting; 1 on TIR
+    krf = jnp.where(do_refr, fresnel,
+                    jnp.where(hit_mask & (trans > 0.0) & ~no_tir, 1.0, kr))
+
+    # Beer term exp((1-cd) * (-t)) when exiting a medium (main.cpp:491-494).
+    # Miss lanes carry t = FLT_MAX; zero them before the exp or its backward
+    # pass emits 0 * inf = NaN into the material gradients.
+    t_beer = jnp.where(hit_mask & ~outside, hit.t, 0.0)
+    beer = jnp.where(
+        outside[..., None], 1.0,
+        jnp.exp((1.0 - cd) * (-t_beer[..., None])))
+
+    refl_dir = normalize(N * (2.0 * VdotN)[..., None] - V)
+    refl_gate = dot(refl_dir, N) > 0.0
+    do_refl = hit_mask & (ks > 0.0) & refl_gate
+
+    if spawn_children:
+        out.update({
+            "refr_valid": do_refr,
+            "refr_o": hit_p - N * OFFSET,
+            "refr_d": refr_dir,
+            "refr_ior": ior2,
+            "refr_weight": jnp.where(
+                do_refr[..., None], beer * (1.0 - krf)[..., None], 0.0),
+            "refl_valid": do_refl,
+            "refl_o": hit_p + N * OFFSET,
+            "refl_d": refl_dir,
+            "refl_ior": ior1,
+            "refl_weight": jnp.where(
+                do_refl[..., None], cs * krf[..., None], 0.0),
+            # recursion passes the last light's world pos as the sample
+            "child_ls": last_light_pos,
+        })
+    return out

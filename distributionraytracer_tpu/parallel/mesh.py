@@ -1,0 +1,149 @@
+"""Multi-chip rendering and training over a jax.sharding.Mesh.
+
+The reference's only parallelism is OpenMP threads over pixels
+(main.cpp:538, 603).  The TPU-native equivalent is pixel-tile data
+parallelism: the image's rows are sharded over a flat ``'devices'`` axis via
+``shard_map``, the scene (primitives, materials, BVH/grid tables, cubemaps)
+is replicated to every chip, and the forward pass is embarrassingly
+parallel.  For differentiable rendering the parameter gradients are
+``psum``-reduced over ICI inside the mapped function, so the all-reduce
+overlaps the per-shard backward work under XLA's scheduler.
+
+On a multi-host pod slice the same code runs after
+``jax.distributed.initialize()``; the mesh simply spans all processes'
+devices (DCN only carries the initial broadcast; collectives ride ICI).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from distributionraytracer_tpu.config import RenderConfig
+from distributionraytracer_tpu.integrator.render import (
+    SampleSet, make_samples, render_from_samples,
+)
+from distributionraytracer_tpu.scene.types import SceneData
+
+
+def ensure_devices(n_devices: int) -> None:
+    """Best-effort switch to n virtual CPU devices when the current backend
+    has fewer chips (single-chip dev boxes, CI).  Must run before arrays are
+    created; re-initializes the backend with
+    ``--xla_force_host_platform_device_count``."""
+    import os
+    if len(jax.devices()) >= n_devices:
+        return
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    import jax._src.xla_bridge as xb
+    xb._clear_backends()
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {jax.devices()}")
+
+
+def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("devices",))
+
+
+def _pad_rows(samples: SampleSet, ndev: int):
+    H = samples.time.shape[0]
+    pad = (-H) % ndev
+    if pad == 0:
+        return samples, H
+    f = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+    return SampleSet(f(samples.pixel), f(samples.light), f(samples.lens),
+                     f(samples.time)), H
+
+
+def render_image_sharded(scene: SceneData, cfg: RenderConfig, mesh: Mesh,
+                         key=None, samples: Optional[SampleSet] = None):
+    """Full-image render with rows sharded over the mesh.
+
+    Scene replicated; per-device slab offset from ``axis_index``.
+    Returns (H, W, 3) with the same semantics as render_image.
+    """
+    if samples is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        samples = make_samples(scene, cfg, key)
+    ndev = mesh.devices.size
+    samples, H = _pad_rows(samples, ndev)
+    rows_per = samples.time.shape[0] // ndev
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("devices")),
+             out_specs=P("devices"))
+    def _shard(scene_rep, samp):
+        off = jax.lax.axis_index("devices") * rows_per
+        return render_from_samples(scene_rep, cfg, samp, row_offset=off)
+
+    img = _shard(scene, samples)
+    return img[:H]
+
+
+def l2_render_loss(scene: SceneData, cfg: RenderConfig, samples: SampleSet,
+                   target, row_offset=0):
+    img = render_from_samples(scene, cfg, samples, row_offset=row_offset)
+    return jnp.mean((img - target) ** 2)
+
+
+def make_sharded_train_step(cfg: RenderConfig, mesh: Mesh, rows_per: int,
+                            lr: float = 1e-2, update_leaves=None):
+    """Inverse-rendering step: grads of the image L2 loss w.r.t. every float
+    scene leaf (materials, lights, camera, geometry, background), psum-ed
+    over ICI, applied with SGD.  ``update_leaves`` optionally names the
+    SceneData fields to update (e.g. ("mat_cd", "mat_ks")); None updates all
+    float leaves.  Int/bool leaves always pass through untouched."""
+
+    from distributionraytracer_tpu.scene.types import SceneData as _SD
+    leaf_names = _SD._LEAF_NAMES
+    allowed = set(leaf_names if update_leaves is None else update_leaves)
+
+    def _is_float(x):
+        return jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("devices"), P("devices")),
+             out_specs=(P(), P()))
+    def _step(scene, samp, target):
+        off = jax.lax.axis_index("devices") * rows_per
+
+        def loss_fn(s):
+            return l2_render_loss(s, cfg, samp, target, row_offset=off)
+
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(scene)
+        # all-reduce over ICI (mean over shards)
+        ndev = jax.lax.axis_size("devices")
+        loss = jax.lax.psum(loss, "devices") / ndev
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, "devices") / ndev
+            if _is_float(g) else g, grads)
+        return loss, grads
+
+    @jax.jit
+    def step(scene: SceneData, samples: SampleSet, target):
+        loss, grads = _step(scene, samples, target)
+        leaves, aux = scene.tree_flatten()
+        gleaves, _ = grads.tree_flatten()
+        new_leaves = [
+            p - lr * g
+            if (name in allowed and _is_float(p) and _is_float(g)) else p
+            for name, p, g in zip(leaf_names, leaves, gleaves)]
+        return loss, SceneData.tree_unflatten(aux, new_leaves)
+
+    return step

@@ -1,0 +1,63 @@
+"""Multi-device sharding on the virtual 8-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from distributionraytracer_tpu.config import RenderConfig
+from distributionraytracer_tpu.integrator.render import (
+    make_samples, render_image,
+)
+from distributionraytracer_tpu.parallel.mesh import (
+    make_device_mesh, make_sharded_train_step, render_image_sharded,
+)
+from tests.test_whitted import small_scene
+
+
+def test_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single():
+    scene = small_scene().device_put()
+    cfg = RenderConfig(spp=2)
+    key = jax.random.PRNGKey(5)
+    samples = make_samples(scene, cfg, key)
+    ref = np.asarray(render_image(scene, cfg, samples=samples))
+    mesh = make_device_mesh()
+    img = np.asarray(render_image_sharded(scene, cfg, mesh, samples=samples))
+    assert img.shape == ref.shape
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_sharded_train_step_reduces_loss():
+    scene = small_scene().device_put()
+    cfg = RenderConfig(spp=1)
+    key = jax.random.PRNGKey(9)
+    samples = make_samples(scene, cfg, key)
+    # target: render with perturbed diffuse color, then recover by SGD
+    import dataclasses
+    target_scene = dataclasses.replace(
+        scene, mat_cd=scene.mat_cd * 0.5)
+    target = render_image(target_scene, cfg, samples=samples)
+
+    mesh = make_device_mesh()
+    H = samples.time.shape[0]
+    assert H % 8 == 0 or True
+    # pad rows to the mesh
+    from distributionraytracer_tpu.parallel.mesh import _pad_rows
+    samples_p, H0 = _pad_rows(samples, 8)
+    pad = samples_p.time.shape[0] - H0
+    target_p = jnp.concatenate(
+        [target, jnp.zeros((pad,) + target.shape[1:])], axis=0)
+    rows_per = samples_p.time.shape[0] // 8
+
+    step = make_sharded_train_step(cfg, mesh, rows_per, lr=0.5,
+                                   update_leaves=("mat_cd",))
+    losses = []
+    s = scene
+    for _ in range(8):
+        loss, s = step(s, samples_p, target_p)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses

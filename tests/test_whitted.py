@@ -1,0 +1,131 @@
+"""Whitted integrator vs the scalar NumPy oracle (shared sample streams)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from distributionraytracer_tpu.config import RenderConfig
+from distributionraytracer_tpu.integrator.render import (
+    SampleSet, default_config, render_image,
+)
+from distributionraytracer_tpu.oracle import oracle_render
+from distributionraytracer_tpu.scene import load_p3f
+from distributionraytracer_tpu.scene.builder import SceneBuilder
+
+
+def assert_images_close(img, ref, atol=3e-3, outlier_frac=0.005,
+                        max_outlier=0.05):
+    """allclose with a tiny outlier budget: borderline intersections can
+    flip between the f32 renderer and the f64-camera oracle."""
+    diff = np.abs(np.asarray(img) - np.asarray(ref))
+    bad = diff > atol
+    assert bad.mean() <= outlier_frac, (
+        f"{bad.mean():.4%} of elements beyond atol={atol} "
+        f"(max diff {diff.max():.4f})")
+    assert diff.max() <= max_outlier, f"max diff {diff.max():.4f}"
+
+
+def small_scene(with_quad_light=False, glass=False):
+    b = SceneBuilder()
+    b.set_camera([0, 1, 5], [0, 0, 0], [0, 1, 0], 45, 0.01, 24, 18, 0, 1)
+    floor = b.add_material([0.6, 0.6, 0.2], 0.8, [0.2, 0.2, 0.2], 0.0,
+                           10, 0, 1)
+    b.add_plane_hessian([0, 1, 0], 1.0, floor)  # y = -1
+    red = b.add_material([0.9, 0.1, 0.1], 0.9, [1, 1, 1], 0.3, 50, 0, 1)
+    b.add_sphere([-0.8, 0, 0], 0.8, red)
+    if glass:
+        g = b.add_material([0.2, 0.9, 0.2], 0.0, [1, 1, 1], 0.5, 30, 1, 1.5)
+        b.add_sphere([1.0, 0, 0.5], 0.7, g)
+    else:
+        metal = b.add_material([0, 0, 0], 0.0, [0.9, 0.8, 0.7], 0.9, 200, 0, 1)
+        b.add_sphere([1.0, 0, 0.5], 0.7, metal)
+    if with_quad_light:
+        b.add_quad_light([2, 4, 2], [1, 1, 1], [3, 4, 2], [2, 4, 3], 16)
+    else:
+        b.add_point_light([2, 4, 2], [1, 1, 1])
+    b.add_point_light([-3, 3, 3], [1, 1, 1])
+    b.bg_color = np.array([0.1, 0.2, 0.4], np.float32)
+    return b.build()
+
+
+def fixed_samples(scene, spp, seed=0):
+    st = scene.static
+    H, W, S = st.res_y, st.res_x, max(spp, 1)
+    rng = np.random.default_rng(seed)
+    return SampleSet(
+        pixel=jnp.asarray(rng.random((H, W, S, 2)), jnp.float32)
+        if spp else jnp.full((H, W, 1, 2), 0.5, jnp.float32),
+        light=jnp.asarray(rng.random((H, W, S, 2)), jnp.float32),
+        lens=jnp.asarray(rng.random((H, W, S, 2)) * 2 - 1, jnp.float32),
+        time=jnp.zeros((H, W, S), jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("glass", [False, True])
+def test_whitted_matches_oracle_pointlights(glass):
+    scene = small_scene(glass=glass)
+    samples = fixed_samples(scene, spp=1)
+    cfg = RenderConfig(spp=1)
+    img = np.asarray(render_image(scene.device_put(), cfg, samples=samples))
+    ref = oracle_render(scene, samples)
+    np.testing.assert_allclose(img, ref, atol=2e-3)
+    assert img.std() > 0.01  # non-degenerate image
+
+
+def test_whitted_matches_oracle_quadlight():
+    scene = small_scene(with_quad_light=True)
+    samples = fixed_samples(scene, spp=4)
+    cfg = RenderConfig(spp=4)
+    img = np.asarray(render_image(scene.device_put(), cfg, samples=samples))
+    ref = oracle_render(scene, samples)
+    np.testing.assert_allclose(img, ref, atol=2e-3)
+
+
+def test_whitted_p3f_balls_low_crop(scenes_dir):
+    """Real P3F scene at reduced res, deterministic center samples."""
+    scene = load_p3f(os.path.join(scenes_dir, "balls_low.p3f"))
+    # shrink resolution for test speed: rebuild static
+    import dataclasses
+    st = dataclasses.replace(scene.static, res_x=32, res_y=32, spp=0)
+    scene = dataclasses.replace(scene, static=st)
+    samples = fixed_samples(scene, spp=0)
+    cfg = RenderConfig(spp=0)
+    img = np.asarray(render_image(scene.device_put(), cfg, samples=samples))
+    ref = oracle_render(scene, samples)
+    assert_images_close(img, ref)
+    assert img.std() > 0.05
+
+
+def test_dof_matches_oracle(scenes_dir):
+    scene = load_p3f(os.path.join(scenes_dir, "dof.p3f"))
+    import dataclasses
+    st = dataclasses.replace(scene.static, res_x=24, res_y=18)
+    scene = dataclasses.replace(scene, static=st)
+    spp = 4
+    samples = fixed_samples(scene, spp=spp)
+    cfg = RenderConfig(spp=spp, dof=True)
+    img = np.asarray(render_image(scene.device_put(), cfg, samples=samples))
+    ref = oracle_render(scene, samples, dof=True)
+    assert_images_close(img, ref)
+
+
+def test_motion_blur_matches_oracle(scenes_dir):
+    scene = load_p3f(os.path.join(scenes_dir, "motion.p3f"))
+    import dataclasses
+    st = dataclasses.replace(scene.static, res_x=24, res_y=24)
+    scene = dataclasses.replace(scene, static=st)
+    spp = 4
+    rng = np.random.default_rng(3)
+    H, W, S = 24, 24, spp
+    samples = SampleSet(
+        pixel=jnp.asarray(rng.random((H, W, S, 2)), jnp.float32),
+        light=jnp.asarray(rng.random((H, W, S, 2)), jnp.float32),
+        lens=jnp.asarray(rng.random((H, W, S, 2)) * 2 - 1, jnp.float32),
+        time=jnp.asarray(rng.random((H, W, S)), jnp.float32))
+    cfg = RenderConfig(spp=spp, motion_blur=True)
+    img = np.asarray(render_image(scene.device_put(), cfg, samples=samples))
+    ref = oracle_render(scene, samples, motion_blur=True)
+    assert_images_close(img, ref)
