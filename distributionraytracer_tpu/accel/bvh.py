@@ -188,11 +188,11 @@ def make_bvh_intersectors(scene: SceneData, bvh: BVHArrays,
         root_ok, _ = _aabb_hit(o, d, nmin[0], nmax[0])
 
         state = dict(
-            node=jnp.int32(0), sp=jnp.int32(0),
-            stack_n=jnp.zeros(STACK_SIZE, jnp.int32),
-            stack_t=jnp.zeros(STACK_SIZE, jnp.float32),
-            best_t=FLT_MAX, best_n=jnp.zeros(3), best_obj=jnp.int32(-1),
-            occluded=jnp.array(False),
+            node=np.int32(0), sp=np.int32(0),
+            stack_n=np.zeros(STACK_SIZE, np.int32),
+            stack_t=np.zeros(STACK_SIZE, np.float32),
+            best_t=np.float32(FLT_MAX), best_n=np.zeros(3, np.float32),
+            best_obj=np.int32(-1), occluded=np.False_,
             active=root_ok)
 
         def cond(s):
@@ -268,7 +268,7 @@ def make_bvh_intersectors(scene: SceneData, bvh: BVHArrays,
                 sp = sp - 1
                 cand = stack_n[sp]
                 cand_t = stack_t[sp]
-                good = (cand_t < bt) if not is_shadow else jnp.array(True)
+                good = (cand_t < bt) if not is_shadow else np.True_
                 return (sp, jnp.where(good, cand, node), good)
 
             # lanes that descend skip the pop loop (found starts True)
@@ -296,7 +296,7 @@ def make_bvh_intersectors(scene: SceneData, bvh: BVHArrays,
 
     closest_v = jax.vmap(lambda o, d, t: _traverse_one(o, d, t))
     shadow_v = jax.vmap(lambda o, d, dist: _traverse_one(
-        o, d, jnp.zeros(()), shadow_dist=dist))
+        o, d, np.float32(0.0), shadow_dist=dist))
 
     def closest(o, d, time):
         from distributionraytracer_tpu.ops.intersect import HitResult

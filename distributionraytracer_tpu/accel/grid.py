@@ -174,8 +174,8 @@ def make_grid_intersectors(scene: SceneData, grid: GridArrays,
         state = dict(
             cell=cell, t_next=t_next,
             ptr=jnp.where(ok, cs[cid], 0), end=jnp.where(ok, cs[cid + 1], 0),
-            best_t=FLT_MAX, best_n=jnp.zeros(3), best_obj=jnp.int32(-1),
-            active=ok, found=jnp.array(False))
+            best_t=np.float32(FLT_MAX), best_n=np.zeros(3, np.float32),
+            best_obj=np.int32(-1), active=ok, found=np.False_)
 
         def cond(s):
             return s["active"]
@@ -238,7 +238,7 @@ def make_grid_intersectors(scene: SceneData, grid: GridArrays,
         def body(s):
             has_obj = s["ptr"] < s["end"]
             gid = co[jnp.clip(s["ptr"], 0, co.shape[0] - 1)]
-            t, _ = hit_packed(o, d, jnp.zeros(()), obj_data[gid],
+            t, _ = hit_packed(o, d, np.float32(0.0), obj_data[gid],
                               obj_types[gid], motion_blur)
             occ = has_obj & (t < dist)
             ptr = jnp.where(has_obj, s["ptr"] + 1, s["ptr"])

@@ -37,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from distributionraytracer_tpu.config import RenderConfig
 from distributionraytracer_tpu.ops.common import (
@@ -66,12 +67,14 @@ def hit_world(scene: PTScene, o, d, time, tmin=1e-3, tmax=1e4) -> PTHit:
     table order: triangles, spheres, moving spheres — matching the
     sequential if-chain of P3D_RT.glsl:16-481 for the generated layouts)."""
     R = o.shape[0]
-    INF = jnp.float32(3.4e38)
+    INF = np.float32(3.4e38)
 
-    best_t = jnp.full((R,), jnp.float32(tmax))
-    best_n = jnp.zeros((R, 3))
-    best_m = jnp.zeros((R,), jnp.int32)
-    found = jnp.zeros((R,), bool)
+    # tmax can be a traced scalar (shadow queries); multiply into a host
+    # constant so concrete calls never create device arrays during trace
+    best_t = tmax * np.ones((R,), np.float32)
+    best_n = np.zeros((R, 3), np.float32)
+    best_m = np.zeros((R,), np.int32)
+    found = np.zeros((R,), bool)
 
     # --- triangles (hit_triangle, common.glsl:418-447; t in (tmin, rec.t))
     if scene.tri_v0.shape[0]:
@@ -300,7 +303,7 @@ def scatter(scene: PTScene, r_o, r_d, hit: PTHit, m, u_choice, u3a, u3b):
     d_dif = N + unit_vec
     o_dif = hit.pos + N * EPS
     a_dif = m["albedo"] * jnp.maximum(dot(N, d_dif), 0.0)[..., None]
-    ok_dif = jnp.ones(r_d.shape[:-1], bool)
+    ok_dif = np.ones(r_d.shape[:-1], bool)
 
     # ---- METAL (common.glsl:314-324)
     refl = r_d - 2.0 * dot(r_d, N)[..., None] * N  # GLSL reflect()
@@ -340,7 +343,7 @@ def scatter(scene: PTScene, r_o, r_d, hit: PTHit, m, u_choice, u3a, u3b):
     # Beer when refracting from inside, else 1 (common.glsl:359-373)
     a_die = jnp.where(
         (take_refl | outside)[..., None], jnp.ones_like(beer), beer)
-    ok_die = jnp.ones(r_d.shape[:-1], bool)
+    ok_die = np.ones(r_d.shape[:-1], bool)
 
     # ---- PLASTIC (common.glsl:376-405)
     light_dir = safe_normalize(r_o - hit.pos)
@@ -361,7 +364,7 @@ def scatter(scene: PTScene, r_o, r_d, hit: PTHit, m, u_choice, u3a, u3b):
     d_pla = jnp.where(take_spec[..., None], d_spec, d_dplastic)
     a_pla = jnp.where(take_spec[..., None], a_spec, a_dplastic)
     o_pla = hit.pos + N * EPS
-    ok_pla = jnp.ones(r_d.shape[:-1], bool)
+    ok_pla = np.ones(r_d.shape[:-1], bool)
 
     is_t = lambda t: typ == t
     selv = lambda dif, met, die, pla: jnp.select(
@@ -430,13 +433,13 @@ def ray_color(scene: PTScene, cfg: RenderConfig, o, d, time, key):
             thr = jnp.where((live_hit & ok & ~killed)[..., None],
                             thr / jnp.maximum(p, 1e-12)[..., None], thr)
         else:
-            killed = jnp.zeros((R,), bool)
+            killed = np.zeros((R,), bool)
 
         # miss: sky (P3D_RT.glsl:659-672)
         tsky = jnp.clip(0.8 * (d[..., 1] + 1.0), 0.0, 1.0)
         if scene.sky_mode == SKY_GRADIENT:
-            sky = (1.0 - tsky[..., None]) * jnp.ones(3) + tsky[..., None] \
-                * jnp.array([0.5, 0.7, 1.0])
+            sky = ((1.0 - tsky[..., None]) * np.ones(3, np.float32)
+                   + tsky[..., None] * np.array([0.5, 0.7, 1.0], np.float32))
         else:
             tex = srgb_to_linear(
                 gl_cubemap_color(scene.sky_faces, scene.sky_res, d))
@@ -450,9 +453,9 @@ def ray_color(scene: PTScene, cfg: RenderConfig, o, d, time, key):
         t_ray = jnp.zeros_like(t_ray)
         return (o, d, col, thr, alive, t_ray), None
 
-    col = jnp.zeros((R, 3))
-    thr = jnp.ones((R, 3))
-    alive = jnp.ones((R,), bool)
+    col = np.zeros((R, 3), np.float32)
+    thr = np.ones((R, 3), np.float32)
+    alive = np.ones((R,), bool)
     keys = jax.random.split(key, cfg.max_bounces)
     (o, d, col, thr, alive, _), _ = jax.lax.scan(
         body, (o, d, col, thr, alive, time), keys)
@@ -469,22 +472,30 @@ def render_pt(scene: PTScene, cfg: RenderConfig, res_x: int, res_y: int,
     if eye is None:
         # default shader camera: distance 5 on -z looking at +z
         # (P3D_RT.glsl:712-718 with mouse at origin)
-        eye = jnp.array([0.0, 0.0, -5.0])
-        at = jnp.array([0.0, 0.0, 1.0]) + eye
-    up = jnp.array([0.0, 1.0, 0.0])
+        eye = np.array([0.0, 0.0, -5.0], np.float32)
+        at = np.array([0.0, 0.0, 1.0], np.float32) + eye
+    up = np.array([0.0, 1.0, 0.0], np.float32)
 
-    w = eye - at
-    plane_dist = jnp.linalg.norm(w)
-    n = w / plane_dist
-    u = safe_normalize(jnp.cross(up, n))
-    v = jnp.cross(n, u)
-    height = 2.0 * plane_dist * jnp.tan(fovy * jnp.pi / 180.0 * 0.5)
+    # camera basis: all-host math when eye/at are numpy (no device consts)
+    import math
+    w = np.asarray(eye) - np.asarray(at) if isinstance(eye, np.ndarray) else eye - at
+    if isinstance(w, np.ndarray):
+        plane_dist = np.linalg.norm(w)
+        n = w / plane_dist
+        u = np.cross(up, n); u = u / np.linalg.norm(u)
+        v = np.cross(n, u)
+    else:
+        plane_dist = jnp.linalg.norm(w)
+        n = w / plane_dist
+        u = safe_normalize(jnp.cross(up, n))
+        v = jnp.cross(n, u)
+    height = 2.0 * plane_dist * math.tan(fovy * math.pi / 180.0 * 0.5)
     width = (res_x / res_y) * height
 
     k_pix, k_time, k_trace = jax.random.split(key, 3)
-    xy = jnp.stack(
-        jnp.meshgrid(jnp.arange(res_x, dtype=jnp.float32),
-                     jnp.arange(res_y, dtype=jnp.float32), indexing="xy"),
+    xy = np.stack(
+        np.meshgrid(np.arange(res_x, dtype=np.float32),
+                    np.arange(res_y, dtype=np.float32), indexing="xy"),
         axis=-1)
     jit = jax.random.uniform(k_pix, (res_y, res_x, spp, 2))
     ps = xy[:, :, None, :] + jit
@@ -492,7 +503,7 @@ def render_pt(scene: PTScene, cfg: RenderConfig, res_x: int, res_y: int,
     py = (ps[..., 1] / res_y - 0.5) * height
     d = (u * px[..., None] + v * py[..., None] - n * plane_dist)
     d = normalize(d)
-    o = jnp.broadcast_to(eye, d.shape)
+    o = jnp.zeros_like(d) + eye  # stays traced for np or jnp eye
     time = jax.random.uniform(k_time, (res_y, res_x, spp))  # time0=0, time1=1
 
     R = res_x * res_y * spp

@@ -94,15 +94,16 @@ def make_samples(scene: SceneData, cfg: RenderConfig, key,
         light = sampling.light_jitter_shuffled(k2, S, (H, W))
     else:
         S = _sample_count(scene, cfg)
-        pixel = jnp.full((H, W, S, 2), 0.5, jnp.float32)
+        pixel = np.full((H, W, S, 2), 0.5, np.float32)
         if st.n_lights and st.light_quad[0]:
-            light = jnp.broadcast_to(sampling.regular_grid(S), (H, W, S, 2))
+            light = np.broadcast_to(sampling.regular_grid(S),
+                                    (H, W, S, 2)).copy()
         else:
-            light = jnp.full((H, W, S, 2), 0.5, jnp.float32)
+            light = np.full((H, W, S, 2), 0.5, np.float32)
     lens = (sampling.unit_disk(k3, (H, W, S)) if cfg.dof
-            else jnp.zeros((H, W, S, 2), jnp.float32))
+            else np.zeros((H, W, S, 2), np.float32))
     time = (jax.random.uniform(k4, (H, W, S)) if cfg.motion_blur
-            else jnp.zeros((H, W, S), jnp.float32))
+            else np.zeros((H, W, S), np.float32))
     return SampleSet(pixel=pixel, light=light, lens=lens, time=time)
 
 
@@ -115,14 +116,17 @@ def _rays_from_samples(scene: SceneData, cfg: RenderConfig,
     """
     H, W, S = samples.time.shape
     cam = derive_camera(scene)
-    xy = jnp.stack(
-        jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
-                     jnp.arange(H, dtype=jnp.float32),
-                     indexing="xy"),
+    xy = np.stack(
+        np.meshgrid(np.arange(W, dtype=np.float32),
+                    np.arange(H, dtype=np.float32),
+                    indexing="xy"),
         axis=-1)  # (H,W,2) = (x,y)
-    xy = xy.at[..., 1].add(jnp.asarray(row_offset, jnp.float32))
+    # row_offset may be a traced scalar (sharded slabs); keep the base grid
+    # a host constant and add the offset as a (possibly traced) op
+    xy = xy + np.array([0.0, 1.0], np.float32) * row_offset
     pix = xy[:, :, None, :] + samples.pixel  # viewport coords
-    time = samples.time if cfg.motion_blur else jnp.zeros_like(samples.time)
+    time = samples.time if cfg.motion_blur else np.zeros(
+        samples.time.shape, np.float32)
     if cfg.dof:
         lens = samples.lens * (cam.aperture / 2.0)
         o, d, t = thin_lens_rays(cam, lens, pix, time)
@@ -148,7 +152,7 @@ def render_from_samples(scene: SceneData, cfg: RenderConfig,
     pad = (-n) % tile
     if pad:
         padf = lambda a: jnp.concatenate(
-            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
         o, d, t, ls = padf(o), padf(d), padf(t), padf(ls)
     nt = (n + pad) // tile
 

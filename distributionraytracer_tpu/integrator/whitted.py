@@ -41,6 +41,7 @@ from __future__ import annotations
 from typing import Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from distributionraytracer_tpu.config import RenderConfig
 from distributionraytracer_tpu.ops.common import (
@@ -75,7 +76,7 @@ def brute_intersectors(scene: SceneData, cfg: RenderConfig) -> Intersectors:
         return closest_hit_brute(scene, o, d, time, cfg.motion_blur)
 
     def shadow(o, d, dist, exclude_obj):
-        time = jnp.zeros(o.shape[:-1], jnp.float32)
+        time = np.zeros(o.shape[:-1], np.float32)
         return any_hit_brute(scene, o, d, time, dist, exclude_obj,
                              cfg.motion_blur)
 
@@ -122,11 +123,11 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
     node_o = o[:, None, :]
     node_d = d[:, None, :]
     node_t = time[:, None]
-    node_ior = jnp.ones((R, 1), jnp.float32)
+    node_ior = np.ones((R, 1), np.float32)
     node_ls = light_sample[:, None, :]
-    node_valid = jnp.ones((R, 1), bool)
-    rays_traced = jnp.zeros((), jnp.float32)
-    shadow_rays = jnp.zeros((), jnp.float32)
+    node_valid = np.ones((R, 1), bool)
+    rays_traced = np.float32(0.0)
+    shadow_rays = np.float32(0.0)
 
     for level in range(levels):
         depth = level + 1
@@ -155,7 +156,7 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
             node_ior = interleave(cur["refr_ior"], cur["refl_ior"])
             node_ls = interleave(cur["child_ls"], cur["child_ls"])
             node_valid = interleave(cur["refr_valid"], cur["refl_valid"])
-            node_t = jnp.zeros((R, 2 * n), jnp.float32)  # children time = 0
+            node_t = np.zeros((R, 2 * n), np.float32)  # children time = 0
 
     # ---------------- bottom-up combine ----------------
     # leaf level: depth > max_depth would return direct unclamped, but the
@@ -211,8 +212,8 @@ def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
     mat_ior = scene.mat_ior[m]
 
     # ---------------- direct lighting (main.cpp:383-451) ----------------
-    direct = jnp.zeros((Rn, 3), jnp.float32)
-    last_light_pos = jnp.zeros((Rn, 3), jnp.float32)
+    direct = np.zeros((Rn, 3), np.float32)
+    last_light_pos = np.zeros((Rn, 3), np.float32)
     for j in range(st.n_lights):
         # quad lights sample pos + e1*sx + e2*sy (scene.h:103-106);
         # punctual lights use pos.  Quad-ness is static per scene.
@@ -222,6 +223,7 @@ def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
                          + scene.light_e2[j] * light_sample[..., 1:2])
         else:
             light_pos = jnp.broadcast_to(scene.light_pos[j], (Rn, 3))
+            # (light_pos[j] is a traced leaf, so broadcast_to stays traced)
         last_light_pos = light_pos
 
         L_un = light_pos - hit_p
@@ -246,6 +248,7 @@ def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
         missc = clamp_color(skybox_color(scene.sky_faces, scene.sky_res, d))
     else:
         missc = jnp.broadcast_to(clamp_color(scene.bg_color), (Rn, 3))
+        # (bg_color is traced; broadcast_to stays traced)
 
     out = {
         "direct": direct,

@@ -8,6 +8,7 @@ so eye/at/up stay differentiable.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from distributionraytracer_tpu.ops.common import normalize
 from distributionraytracer_tpu.scene.types import CameraParams
@@ -27,7 +28,7 @@ def primary_rays(cam: CameraParams, pixel_sample, time=None):
     d = normalize(d)
     o = jnp.broadcast_to(cam.eye, d.shape)
     if time is None:
-        time = jnp.zeros(d.shape[:-1], jnp.float32)
+        time = np.zeros(d.shape[:-1], np.float32)
     return o, d, time
 
 
@@ -48,5 +49,5 @@ def thin_lens_rays(cam: CameraParams, lens_sample, pixel_sample, time=None):
          - cam.n * f)
     d = normalize(d)
     if time is None:
-        time = jnp.zeros(d.shape[:-1], jnp.float32)
+        time = np.zeros(d.shape[:-1], np.float32)
     return eye_offset, d, time

@@ -7,9 +7,13 @@ Everything operates on ``(..., 3)`` float32 arrays; the last axis is xyz.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 EPSILON = 1e-3
-FLT_MAX = jnp.float32(3.402823466e38)
+# NB: numpy scalar, NOT a jnp array: eager jnp constants created at import
+# or inside traced code become device-committed arrays whose values must be
+# fetched back through the (slow, remote) axon tunnel during lowering.
+FLT_MAX = np.float32(3.402823466e38)
 
 
 def dot(a, b):

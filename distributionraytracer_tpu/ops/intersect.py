@@ -51,7 +51,7 @@ def sphere_t(o, d, time, center, radius, motion_blur: bool):
     """
     if motion_blur:
         # per-ray moved center: (R,1,3) = (N,3) + vel*time
-        vel = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+        vel = np.array([0.0, 1.0, 0.0], np.float32)
         c = center[None, :, :] + vel * time[:, None, None]  # (R,N,3)
         oc = o[:, None, :] - c
     else:
@@ -74,7 +74,7 @@ def sphere_t(o, d, time, center, radius, motion_blur: bool):
 def sphere_normal(o, d, t, time, center, radius, motion_blur: bool):
     """Normal for a single winning sphere per ray (gathered params)."""
     if motion_blur:
-        vel = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+        vel = np.array([0.0, 1.0, 0.0], np.float32)
         center = center + vel * time[..., None]
     p = o + d * t[..., None]
     return normalize(p - center)
@@ -142,10 +142,10 @@ def box_normal(o, d, t, bmin, bmax):
         (jnp.abs(p[..., 2] - bmin[..., 2]) < EPSILON, [0.0, 0.0, -1.0]),
         (jnp.abs(p[..., 2] - bmax[..., 2]) < EPSILON, [0.0, 0.0, 1.0]),
     ]
-    taken = jnp.zeros(p.shape[:-1], bool)
+    taken = np.zeros(p.shape[:-1], bool)
     for c, vec in conds:
         use = c & ~taken
-        n = jnp.where(use[..., None], jnp.asarray(vec, jnp.float32), n)
+        n = jnp.where(use[..., None], np.asarray(vec, np.float32), n)
         taken = taken | c
     return n
 
@@ -159,10 +159,10 @@ def _per_type_best(tmat, global_ids):
     """
     if tmat.shape[1] == 0:
         R = tmat.shape[0]
-        return jnp.full((R,), FLT_MAX), jnp.full((R,), -1, jnp.int32)
+        return np.full((R,), FLT_MAX), np.full((R,), -1, np.int32)
     idx = jnp.argmin(tmat, axis=1)
     t = jnp.take_along_axis(tmat, idx[:, None], axis=1)[:, 0]
-    gid = global_ids[idx]
+    gid = jnp.take(global_ids, idx)
     return t, jnp.where(t < FLT_MAX, gid, -1)
 
 
@@ -175,10 +175,8 @@ def closest_hit_brute(scene: SceneData, o, d, time, motion_blur: bool) -> HitRes
     st = scene.static
     obj_types = np.array(st.obj_types, np.int64)
     gids = {
-        OBJ_SPHERE: jnp.asarray(np.nonzero(obj_types == OBJ_SPHERE)[0], jnp.int32),
-        OBJ_TRIANGLE: jnp.asarray(np.nonzero(obj_types == OBJ_TRIANGLE)[0], jnp.int32),
-        OBJ_PLANE: jnp.asarray(np.nonzero(obj_types == OBJ_PLANE)[0], jnp.int32),
-        OBJ_BOX: jnp.asarray(np.nonzero(obj_types == OBJ_BOX)[0], jnp.int32),
+        t: np.nonzero(obj_types == t)[0].astype(np.int32)
+        for t in (OBJ_SPHERE, OBJ_TRIANGLE, OBJ_PLANE, OBJ_BOX)
     }
 
     cands = []  # (t, gid, type)
@@ -191,9 +189,9 @@ def closest_hit_brute(scene: SceneData, o, d, time, motion_blur: bool) -> HitRes
     t_b = box_t(o, d, scene.box_min, scene.box_max)
     cands.append(_per_type_best(t_b, gids[OBJ_BOX]) + (OBJ_BOX,))
 
-    best_t = jnp.full(o.shape[:-1], FLT_MAX)
-    best_gid = jnp.full(o.shape[:-1], -1, jnp.int32)
-    best_type = jnp.full(o.shape[:-1], -1, jnp.int32)
+    best_t = np.full(o.shape[:-1], FLT_MAX)
+    best_gid = np.full(o.shape[:-1], -1, np.int32)
+    best_type = np.full(o.shape[:-1], -1, np.int32)
     for t, gid, typ in cands:
         # lexicographic (t, gid): ties across types pick smaller object id
         better = (t < best_t) | ((t == best_t) & (gid >= 0) & ((gid < best_gid) | (best_gid < 0)))
@@ -208,12 +206,12 @@ def closest_hit_brute(scene: SceneData, o, d, time, motion_blur: bool) -> HitRes
 
     # normal + material for the winner only (gather per type, select)
     tidx_np = np.array(st.obj_tidx, np.int64)
-    tidx_arr = jnp.asarray(tidx_np if len(tidx_np) else np.zeros(1, np.int64),
-                           jnp.int32)
-    sub = tidx_arr[jnp.maximum(best_gid, 0)]
+    tidx_arr = (tidx_np if len(tidx_np) else np.zeros(1, np.int64)).astype(
+        np.int32)
+    sub = jnp.take(tidx_arr, jnp.maximum(best_gid, 0))
 
     normal = jnp.zeros_like(o)
-    mat_id = jnp.zeros(o.shape[:-1], jnp.int32)
+    mat_id = np.zeros(o.shape[:-1], np.int32)
 
     if st.n_spheres:
         m = best_type == OBJ_SPHERE
@@ -255,13 +253,13 @@ def any_hit_brute(scene: SceneData, o, d, time, max_dist, exclude_obj,
     st = scene.static
     obj_types = np.array(st.obj_types, np.int64)
 
-    occluded = jnp.zeros(o.shape[:-1], bool)
+    occluded = np.zeros(o.shape[:-1], bool)
 
     def fold(tmat, type_const):
         nonlocal occluded
         if tmat.shape[1] == 0:
             return
-        gid = jnp.asarray(np.nonzero(obj_types == type_const)[0], jnp.int32)
+        gid = np.nonzero(obj_types == type_const)[0].astype(np.int32)
         ok = (tmat < max_dist[:, None]) & (tmat > 1e-4)
         ok &= gid[None, :] != exclude_obj[:, None]
         occluded |= jnp.any(ok, axis=1)

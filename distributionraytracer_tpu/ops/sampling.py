@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def unit_disk(key, shape):
@@ -51,8 +52,8 @@ def stratified_jitter(key, spp: int, shape):
     if n * n != spp:
         n = max(n, 1)
     eps = jax.random.uniform(key, shape + (spp, 2))
-    p = jnp.arange(spp)
-    cell = jnp.stack([p % n, p // n], axis=-1).astype(jnp.float32)
+    p = np.arange(spp)
+    cell = np.stack([p % n, p // n], axis=-1).astype(np.float32)
     return (cell + eps) / n
 
 
@@ -73,7 +74,7 @@ def regular_grid(grid_res: int):
     """gridRes regular light samples for the no-AA quad-light path
     (main.cpp:687-692): u = (s % g + .5)/g, v = (s // g + .5)/g."""
     g = int(grid_res ** 0.5)
-    s = jnp.arange(grid_res)
-    u = (s % g + 0.5) / g
-    v = (s // g + 0.5) / g
-    return jnp.stack([u, v], axis=-1)
+    s = np.arange(grid_res)
+    u = ((s % g + 0.5) / g).astype(np.float32)
+    v = ((s // g + 0.5) / g).astype(np.float32)
+    return np.stack([u, v], axis=-1)
