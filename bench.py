@@ -41,7 +41,7 @@ def measure_tpu(res=512, spp=16, repeats=3):
     scene = load_p3f(os.path.join(SCENES, "balls_low.p3f"))
     st = dataclasses.replace(scene.static, res_x=res, res_y=res)
     scene = dataclasses.replace(scene, static=st).device_put()
-    cfg = RenderConfig(spp=spp, tile_rays=res * res)
+    cfg = RenderConfig(spp=spp, tile_rays=65536)
 
     @partial(jax.jit, static_argnums=(1,))
     def bench_step(scene, cfg, key):
@@ -49,6 +49,7 @@ def measure_tpu(res=512, spp=16, repeats=3):
         o, d, t, ls = _rays_from_samples(scene, cfg, samples)
         n = o.shape[0]
         tile = min(cfg.tile_rays, n)
+        assert n % tile == 0
         nt = n // tile
         sh = lambda a: a.reshape((nt, tile) + a.shape[1:])
 

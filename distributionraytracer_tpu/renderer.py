@@ -1,0 +1,136 @@
+"""High-level renderer facade: the TPU equivalent of init_scene + renderScene.
+
+Builds the scene's acceleration structure host-side once (grid.cpp:30-97 /
+bvh.cpp:27-227 equivalents), keeps the tables HBM-resident, and exposes fully
+jitted render entry points.  Accel tables cross the jit boundary as pytree
+*arguments* so they are never embedded as device constants (see
+tests/test_tracing_hygiene.py).
+
+Usage:
+    r = Renderer(load_p3f("scene.p3f"))
+    img = r.render(jax.random.PRNGKey(0))        # batch mode (Zone B)
+    state = r.progressive_init()
+    state = r.progressive_step(state, key)       # Zone A frames
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from distributionraytracer_tpu.accel.bvh import (
+    BVHArrays, build_bvh, make_bvh_intersectors,
+)
+from distributionraytracer_tpu.accel.grid import (
+    GridArrays, build_grid, make_grid_intersectors,
+)
+from distributionraytracer_tpu.config import RenderConfig
+from distributionraytracer_tpu.integrator.render import (
+    SampleSet, default_config, make_samples, render_from_samples,
+)
+from distributionraytracer_tpu.scene.types import (
+    ACCEL_BVH, ACCEL_GRID, ACCEL_NONE, SceneData,
+)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _render_none(scene, cfg, samples):
+    return render_from_samples(scene, cfg, samples)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _render_grid(scene, cfg, grid: GridArrays, samples):
+    inter = make_grid_intersectors(scene, grid, cfg.motion_blur)
+    return render_from_samples(scene, cfg, samples, inter=inter)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _render_bvh(scene, cfg, bvh: BVHArrays, samples):
+    inter = make_bvh_intersectors(scene, bvh, cfg.motion_blur)
+    return render_from_samples(scene, cfg, samples, inter=inter)
+
+
+class Renderer:
+    def __init__(self, scene: SceneData, cfg: Optional[RenderConfig] = None,
+                 verbose: bool = False):
+        self.cfg = cfg if cfg is not None else default_config(scene)
+        self.scene = scene.device_put()
+        st = scene.static
+        self.accel = st.accel
+        self.grid = None
+        self.bvh = None
+        t0 = time.perf_counter()
+        if st.accel == ACCEL_GRID:
+            self.grid = build_grid(scene)
+            if verbose:
+                n = self.grid.ncells
+                print(f"GRID: total cells = {int(n[0]*n[1]*n[2])}, "
+                      f"total objects = {st.n_objects}, ResX = {int(n[0])}, "
+                      f"ResY = {int(n[1])}, ResZ = {int(n[2])}")
+        elif st.accel == ACCEL_BVH:
+            self.bvh = build_bvh(scene)
+            if verbose:
+                print(f"BVH: {self.bvh.node_min.shape[0]} nodes over "
+                      f"{st.n_objects} objects")
+        if verbose and st.accel != ACCEL_NONE:
+            print(f"accel build: {time.perf_counter() - t0:.2f}s")
+
+    # ------------------------------------------------------------- batch
+    def render_with_samples(self, samples: SampleSet):
+        if self.accel == ACCEL_GRID:
+            return _render_grid(self.scene, self.cfg, self.grid, samples)
+        if self.accel == ACCEL_BVH:
+            return _render_bvh(self.scene, self.cfg, self.bvh, samples)
+        return _render_none(self.scene, self.cfg, samples)
+
+    def render(self, key=None):
+        """Full Zone-B render (main.cpp:602-737): returns (H, W, 3) f32."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        samples = make_samples(self.scene, self.cfg, key)
+        return self.render_with_samples(samples)
+
+    # ------------------------------------------------------ progressive
+    def progressive_init(self):
+        from distributionraytracer_tpu.integrator.render import (
+            progressive_init,
+        )
+        return progressive_init(self.scene)
+
+    def progressive_step(self, state, key):
+        """One Zone-A frame (main.cpp:536-599) under the scene's accel."""
+        import numpy as np
+        from distributionraytracer_tpu.ops import sampling
+        st = self.scene.static
+        H, W = st.res_y, st.res_x
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        samples = SampleSet(
+            pixel=jax.random.uniform(k1, (H, W, 1, 2)),
+            light=jax.random.uniform(k2, (H, W, 1, 2)),
+            lens=sampling.unit_disk(k3, (H, W, 1)),
+            time=(jax.random.uniform(k4, (H, W, 1))
+                  if self.cfg.motion_blur
+                  else np.zeros((H, W, 1), np.float32)))
+        frame = self.render_with_samples(samples)
+        mean, count = state
+        new_count = jnp.minimum(count + 1.0, float(self.cfg.max_samples))
+        upd = count < float(self.cfg.max_samples)
+        mean = jnp.where(upd, mean + (frame - mean) / new_count, mean)
+        return (mean, jnp.where(upd, new_count, count))
+
+    # ------------------------------------------------------- checkpoint
+    def save_progressive(self, path: str, state):
+        """Checkpoint the (mean, count) accumulator — the resumable analog
+        of the reference's colors[]/FrameCount buffer (main.cpp:574-586)."""
+        import numpy as np
+        mean, count = state
+        np.savez(path, mean=np.asarray(mean), count=np.asarray(count))
+
+    def load_progressive(self, path: str):
+        import numpy as np
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return (jnp.asarray(z["mean"]), jnp.asarray(z["count"]))
