@@ -46,9 +46,19 @@ def _area(lo, hi):
     return 2.0 * (e[0] * e[1] + e[0] * e[2] + e[1] * e[2])
 
 
-def build_bvh(scene: SceneData) -> BVHArrays:
+def build_bvh(scene: SceneData, use_native: bool = True) -> BVHArrays:
     st = scene.static
-    bb = object_bboxes(scene).astype(np.float64)  # (O,2,3)
+    bb32 = object_bboxes(scene)
+    if use_native:
+        from distributionraytracer_tpu import native
+        res = native.build_bvh_native(bb32[:, 0], bb32[:, 1])
+        if res is not None:
+            nmin, nmax, leaf, index, nobjs, order = res
+            return BVHArrays(
+                node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
+                node_leaf=jnp.asarray(leaf), node_index=jnp.asarray(index),
+                node_nobjs=jnp.asarray(nobjs), obj_order=jnp.asarray(order))
+    bb = bb32.astype(np.float64)  # (O,2,3)
     O = st.n_objects
     centroids = (bb[:, 0] + bb[:, 1]) / 2.0
 

@@ -97,21 +97,27 @@ def build_grid(scene: SceneData, m: float = 2.0) -> GridArrays:
         f = (p - gmin) * n / (gmax - gmin)
         return np.clip(f, 0, n - 1).astype(np.int64)
 
-    lo = cell_of(bb[:, 0])
-    hi = cell_of(bb[:, 1])
-    counts = np.zeros(nx * ny * nz, np.int64)
-    entries_cell = []
-    entries_obj = []
-    for gid in range(st.n_objects):
-        xs = np.arange(lo[gid, 0], hi[gid, 0] + 1)
-        ys = np.arange(lo[gid, 1], hi[gid, 1] + 1)
-        zs = np.arange(lo[gid, 2], hi[gid, 2] + 1)
-        cz, cy, cx = np.meshgrid(zs, ys, xs, indexing="ij")
-        cells = (cx + nx * cy + nx * ny * cz).ravel()
-        entries_cell.append(cells)
-        entries_obj.append(np.full(len(cells), gid, np.int64))
-    cell_ids = np.concatenate(entries_cell)
-    obj_ids = np.concatenate(entries_obj)
+    from distributionraytracer_tpu import native
+    res = native.grid_insert_native(bb[:, 0], bb[:, 1],
+                                    gmin.astype(np.float64),
+                                    gmax.astype(np.float64), nx, ny, nz)
+    if res is not None:
+        cell_ids, obj_ids = res
+    else:
+        lo = cell_of(bb[:, 0])
+        hi = cell_of(bb[:, 1])
+        entries_cell = []
+        entries_obj = []
+        for gid in range(st.n_objects):
+            xs = np.arange(lo[gid, 0], hi[gid, 0] + 1)
+            ys = np.arange(lo[gid, 1], hi[gid, 1] + 1)
+            zs = np.arange(lo[gid, 2], hi[gid, 2] + 1)
+            cz, cy, cx = np.meshgrid(zs, ys, xs, indexing="ij")
+            cells = (cx + nx * cy + nx * ny * cz).ravel()
+            entries_cell.append(cells)
+            entries_obj.append(np.full(len(cells), gid, np.int64))
+        cell_ids = np.concatenate(entries_cell)
+        obj_ids = np.concatenate(entries_obj)
     # CSR by cell, preserving object insertion order within a cell
     order = np.argsort(cell_ids, kind="stable")
     cell_ids = cell_ids[order]
