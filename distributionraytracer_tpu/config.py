@@ -36,6 +36,12 @@ class RenderConfig:
 
     max_depth: int = 4
     spp: int = 0
+    # Drop statically-dead ray-tree subtrees (no T==1 material => no
+    # refraction subtree; no Ks>0 material => no reflection subtree).  Bit
+    # identical to the full tree because the per-lane spawn masks are implied
+    # by the same material facts; disable when *training* materials across
+    # the T==1 / Ks>0 boundaries (scene.types.SceneStatic.any_refr).
+    static_prune: bool = True
     dof: bool = False
     motion_blur: bool = False
     max_samples: int = 10000

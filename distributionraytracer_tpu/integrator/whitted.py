@@ -14,7 +14,13 @@ throughput product; instead we evaluate the *complete* fixed binary tree:
   ``clamp(direct + clamp(c_refr) * beer * (1-F) + clamp(c_refl) * F * cs)``.
 
 Dead nodes are masked lanes; XLA sees a static unrolled program with no
-data-dependent control flow.
+data-dependent control flow.  Subtrees that are *statically* dead — no
+material with ``T == 1`` means no refraction child can ever spawn, no
+material with ``Ks > 0`` means no reflection child — are pruned at trace
+time from facts recorded in ``SceneStatic`` (the reference's recursion gets
+this for free by simply not recursing; the fixed tree must prune
+explicitly).  A refl-only scene thus traces a 5-node chain instead of the
+31-node binary tree.
 
 Shading semantics preserved from main.cpp:360-520, notably:
 
@@ -115,7 +121,18 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
         inter = brute_intersectors(scene, cfg)
     st = scene.static
     R = o.shape[0]
-    levels = cfg.max_depth + 1  # depth values 1..max_depth+1
+
+    # Statically-possible child kinds: the reference recursion only spawns a
+    # refraction ray when the hit material has T == 1 (main.cpp:465) and a
+    # reflection ray when it has Ks > 0 (main.cpp:504).  When no material in
+    # the scene can satisfy a condition, that whole subtree of the fixed ray
+    # tree is dead — prune it at trace time (bit-identical output, since the
+    # per-lane spawn masks are implied by the same facts).
+    kinds = tuple(
+        k for k, possible in (("refr", st.any_refr), ("refl", st.any_refl))
+        if possible or not cfg.static_prune)
+    branching = len(kinds)
+    levels = (cfg.max_depth + 1) if branching else 1  # depths 1..max_depth+1
 
     # ---------------- top-down expansion ----------------
     # per-level lists of per-node arrays, shape (R, n_nodes_at_level, ...)
@@ -138,25 +155,27 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
             scene, cfg, inter,
             flat(node_o), flat(node_d), flat(node_t), flat(node_ior),
             flat(node_ls), flat(node_valid), hit,
-            spawn_children=(depth <= cfg.max_depth))
+            spawn_children=(depth <= cfg.max_depth and branching > 0))
         unflat = lambda a: a.reshape((R, n) + a.shape[1:])
         lvl.append({k: unflat(v) for k, v in res.items()})
         rays_traced += jnp.sum(flat(node_valid).astype(jnp.float32))
         shadow_rays += st.n_lights * jnp.sum(
             (flat(node_valid) & hit.hit).astype(jnp.float32))
 
-        if depth <= cfg.max_depth:
+        if depth <= cfg.max_depth and branching:
             cur = lvl[-1]
-            # children: interleave (refr, refl) per node -> 2n nodes
-            def interleave(a, b):
-                stacked = jnp.stack([a, b], axis=2)  # (R, n, 2, ...)
-                return stacked.reshape((R, 2 * n) + a.shape[2:])
-            node_o = interleave(cur["refr_o"], cur["refl_o"])
-            node_d = interleave(cur["refr_d"], cur["refl_d"])
-            node_ior = interleave(cur["refr_ior"], cur["refl_ior"])
-            node_ls = interleave(cur["child_ls"], cur["child_ls"])
-            node_valid = interleave(cur["refr_valid"], cur["refl_valid"])
-            node_t = np.zeros((R, 2 * n), np.float32)  # children time = 0
+            # children: interleave the spawned kinds per node -> b*n nodes
+            def interleave(arrs):
+                if len(arrs) == 1:
+                    return arrs[0]
+                stacked = jnp.stack(arrs, axis=2)  # (R, n, b, ...)
+                return stacked.reshape((R, branching * n) + arrs[0].shape[2:])
+            node_o = interleave([cur[k + "_o"] for k in kinds])
+            node_d = interleave([cur[k + "_d"] for k in kinds])
+            node_ior = interleave([cur[k + "_ior"] for k in kinds])
+            node_ls = interleave([cur["child_ls"]] * branching)
+            node_valid = interleave([cur[k + "_valid"] for k in kinds])
+            node_t = np.zeros((R, branching * n), np.float32)  # children time=0
 
     # ---------------- bottom-up combine ----------------
     # leaf level: depth > max_depth would return direct unclamped, but the
@@ -168,12 +187,11 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
         if child_color is None:
             color = direct
         else:
-            c_refr = clamp_color(child_color[:, 0::2])
-            c_refl = clamp_color(child_color[:, 1::2])
-            color = clamp_color(
-                direct
-                + c_refr * cur["refr_weight"]
-                + c_refl * cur["refl_weight"])
+            acc = direct
+            for ci, k in enumerate(kinds):
+                acc = acc + (clamp_color(child_color[:, ci::branching])
+                             * cur[k + "_weight"])
+            color = clamp_color(acc)
         color = jnp.where(cur["miss"][..., None], cur["miss_color"], color)
         color = jnp.where(cur["valid"][..., None], color, 0.0)
         child_color = color

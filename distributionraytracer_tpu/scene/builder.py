@@ -202,7 +202,11 @@ class SceneBuilder:
             focal_ratio=cam["focal_ratio"], has_skybox=has_sky,
             obj_types=tuple(self.obj_types), obj_tidx=tuple(self.obj_tidx),
             light_quad=tuple(bool(l[4]) for l in lights),
-            light_grid=tuple(int(l[5]) for l in lights))
+            light_grid=tuple(int(l[5]) for l in lights),
+            # refraction fires only when T == 1 exactly (main.cpp:465);
+            # reflection only when Ks > 0 (main.cpp:504)
+            any_refr=bool(np.any(mat_T == 1.0)),
+            any_refl=bool(np.any(mat_ks > 0.0)))
 
         return SceneData(
             sph_center=stack(self.sph_center, (n_s, 3)),

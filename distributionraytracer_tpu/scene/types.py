@@ -74,6 +74,16 @@ class SceneStatic:
     # shape-determining, so they live here rather than as traced leaves)
     light_quad: Tuple[bool, ...] = ()
     light_grid: Tuple[int, ...] = ()
+    # Static ray-tree pruning facts, derived from the material table at build
+    # time.  The reference's recursion (main.cpp:456-518) only spawns a
+    # refraction ray when some material has T == 1 and a reflection ray when
+    # some material has Ks > 0; when a whole class is impossible the fixed
+    # ray tree drops that subtree (integrator.whitted).  Defaults are the
+    # conservative "anything possible".  NOTE: stale if materials are
+    # *trained* across the T==1 / Ks>0 boundaries — disable via
+    # RenderConfig(static_prune=False) for such inverse rendering.
+    any_refr: bool = True
+    any_refl: bool = True
 
     @property
     def has_dof(self) -> bool:

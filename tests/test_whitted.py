@@ -99,6 +99,24 @@ def test_whitted_p3f_balls_low_crop(scenes_dir):
     assert img.std() > 0.05
 
 
+@pytest.mark.parametrize("name", ["balls_low", "teste"])
+def test_static_tree_pruning_identical(scenes_dir, name):
+    """Pruning statically-dead ray-tree subtrees must not change the image.
+
+    balls_low has no T==1 material (refraction subtree dead); teste has both
+    glass and metal (nothing prunable -> exercises the no-op path)."""
+    import dataclasses
+    scene = load_p3f(os.path.join(scenes_dir, f"{name}.p3f"))
+    st = dataclasses.replace(scene.static, res_x=24, res_y=24)
+    scene = dataclasses.replace(scene, static=st).device_put()
+    samples = fixed_samples(scene, spp=2)
+    cfg = RenderConfig(spp=2)
+    pruned = np.asarray(render_image(scene, cfg, samples=samples))
+    full = np.asarray(render_image(
+        scene, cfg.replace(static_prune=False), samples=samples))
+    np.testing.assert_allclose(pruned, full, atol=1e-6)
+
+
 def test_dof_matches_oracle(scenes_dir):
     scene = load_p3f(os.path.join(scenes_dir, "dof.p3f"))
     import dataclasses
