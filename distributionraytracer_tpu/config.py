@@ -42,6 +42,11 @@ class RenderConfig:
     # by the same material facts; disable when *training* materials across
     # the T==1 / Ks>0 boundaries (scene.types.SceneStatic.any_refr).
     static_prune: bool = True
+    # Brute-force intersection backend: 'auto' uses the Pallas megakernel
+    # (ops.pallas_intersect) on TPU backends and the jnp path on CPU; 'on'
+    # forces the kernel (interpret-mode on CPU); 'off' forces the jnp path.
+    # The kernel is forward-only — training paths force 'off'.
+    pallas: str = "auto"  # 'auto' | 'on' | 'off'
     dof: bool = False
     motion_blur: bool = False
     max_samples: int = 10000
@@ -54,6 +59,8 @@ class RenderConfig:
     def __post_init__(self):
         if self.shadow_mode not in ("reference", "correct"):
             raise ValueError(f"bad shadow_mode: {self.shadow_mode}")
+        if self.pallas not in ("auto", "on", "off"):
+            raise ValueError(f"bad pallas mode: {self.pallas}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

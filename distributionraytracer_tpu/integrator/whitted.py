@@ -76,7 +76,31 @@ class Intersectors(NamedTuple):
 
 
 def brute_intersectors(scene: SceneData, cfg: RenderConfig) -> Intersectors:
-    """Accel NONE: linear scans (main.cpp:310-336, 432-440)."""
+    """Accel NONE: linear scans (main.cpp:310-336, 432-440).
+
+    Backend choice: the Pallas megakernel (ops.pallas_intersect) on TPU or
+    when forced with ``cfg.pallas='on'`` (interpret-mode off-TPU); otherwise
+    the jnp path, which is the differentiable one.
+    """
+    import jax as _jax
+    from distributionraytracer_tpu.ops import pallas_intersect as _pi
+
+    backend = _jax.default_backend()
+    use_pallas = (cfg.pallas != "off" and _pi.pallas_supported(scene)
+                  and (cfg.pallas == "on" or backend != "cpu"))
+
+    if use_pallas:
+        interp = backend == "cpu"
+
+        def closest(o, d, time):
+            return _pi.closest_hit_pallas(scene, o, d, time,
+                                          cfg.motion_blur, interpret=interp)
+
+        def shadow(o, d, dist, exclude_obj):
+            return _pi.any_hit_pallas(scene, o, d, dist, exclude_obj,
+                                      cfg.motion_blur, interpret=interp)
+
+        return Intersectors(closest, shadow)
 
     def closest(o, d, time):
         return closest_hit_brute(scene, o, d, time, cfg.motion_blur)

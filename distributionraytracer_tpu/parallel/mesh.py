@@ -113,6 +113,8 @@ def make_sharded_train_step(cfg: RenderConfig, mesh: Mesh, rows_per: int,
     from distributionraytracer_tpu.scene.types import SceneData as _SD
     leaf_names = _SD._LEAF_NAMES
     allowed = set(leaf_names if update_leaves is None else update_leaves)
+    # the Pallas intersection kernel is forward-only; gradients need jnp
+    cfg = cfg.replace(pallas="off")
 
     def _is_float(x):
         return jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
