@@ -7,11 +7,28 @@ not below ``n``.  Children are appended contiguously so ``right = left + 1``
 (bvh.cpp:206-222) — the flat array layout ports directly to a TPU-resident
 node table.
 
-Traversal (bvh.cpp:231-391) becomes a scalar ``lax.while_loop`` with a fixed
-int32 stack, ``vmap``-ed over rays: near-child-first ordering, the
-inside-AABB ``t := 0`` fix (bvh.cpp:256-257), and stack pops pruned by
-``stack.t < hitRec.t`` (bvh.cpp:300-308).  The shadow variant any-hits with
-``t <= dist + EPSILON`` (bvh.cpp:376).
+Two traversals are provided:
+
+- **Threaded (default, TPU-native)**: the tree is renumbered in DFS
+  pre-order and given *skip links* (next node after a subtree), making
+  traversal stackless: each ray carries only (node id, leaf cursor, best
+  hit), every iteration of one *batched* ``lax.while_loop`` does one
+  uniform step — an AABB test that either descends (``node + 1``) or skips
+  (``skip[node]``), or one leaf-object test — for the whole ray batch with
+  vector gathers.  No per-lane stack memory, no scatter, no nested loops:
+  this is the shape a TPU wants.  t-pruning (``entry_t >= best_t``, the
+  threaded equivalent of bvh.cpp:300-308's pruned pops) and the inside-AABB
+  ``t := 0`` fix (bvh.cpp:256-257) are preserved; traversal *order* differs
+  from the reference's near-child-first, which cannot change the closest
+  hit (strict-< winner) — only exact-tie winners, a measure-zero set.
+
+- **Stack (reference-exact)**: a scalar ``lax.while_loop`` with a fixed
+  int32 stack ``vmap``-ed over rays, mirroring bvh.cpp:231-391 including
+  near-child-first ordering.  Kept for oracle cross-checks; prohibitively
+  slow on real TPU (the per-lane 64-entry stack and nested pop loop defeat
+  vectorization).
+
+The shadow variants any-hit with ``t <= dist + EPSILON`` (bvh.cpp:376).
 """
 
 from __future__ import annotations
@@ -54,10 +71,16 @@ def build_bvh(scene: SceneData, use_native: bool = True) -> BVHArrays:
         res = native.build_bvh_native(bb32[:, 0], bb32[:, 1])
         if res is not None:
             nmin, nmax, leaf, index, nobjs, order = res
+            # numpy on purpose: on remote-TPU platforms each eager
+            # jnp.asarray is a network roundtrip; callers device_put the
+            # whole structure once (renderer.Renderer)
             return BVHArrays(
-                node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
-                node_leaf=jnp.asarray(leaf), node_index=jnp.asarray(index),
-                node_nobjs=jnp.asarray(nobjs), obj_order=jnp.asarray(order))
+                node_min=np.asarray(nmin, np.float32),
+                node_max=np.asarray(nmax, np.float32),
+                node_leaf=np.asarray(leaf, bool),
+                node_index=np.asarray(index, np.int32),
+                node_nobjs=np.asarray(nobjs, np.int32),
+                obj_order=np.asarray(order, np.int32))
     bb = bb32.astype(np.float64)  # (O,2,3)
     O = st.n_objects
     centroids = (bb[:, 0] + bb[:, 1]) / 2.0
@@ -161,12 +184,220 @@ def build_bvh(scene: SceneData, use_native: bool = True) -> BVHArrays:
         sys.setrecursionlimit(old_lim)
 
     return BVHArrays(
-        node_min=jnp.asarray(np.stack(node_min), jnp.float32),
-        node_max=jnp.asarray(np.stack(node_max), jnp.float32),
-        node_leaf=jnp.asarray(np.array(node_leaf, bool)),
-        node_index=jnp.asarray(np.array(node_index, np.int32)),
-        node_nobjs=jnp.asarray(np.array(node_nobjs, np.int32)),
-        obj_order=jnp.asarray(order, jnp.int32))
+        node_min=np.stack(node_min).astype(np.float32),
+        node_max=np.stack(node_max).astype(np.float32),
+        node_leaf=np.array(node_leaf, bool),
+        node_index=np.array(node_index, np.int32),
+        node_nobjs=np.array(node_nobjs, np.int32),
+        obj_order=order.astype(np.int32))
+
+
+# ------------------------------------------------------------- threading
+class ThreadedBVH(NamedTuple):
+    """DFS pre-order node tables with skip links (stackless traversal).
+
+    ``node_box``: (N, 6) f32 [min, max]; ``node_meta``: (N, 4) i32
+    [skip, first_or_left, n_objs, is_leaf]; ``obj_order`` as in BVHArrays.
+    A node's left child is ``node + 1``; ``skip`` jumps past the subtree.
+    Sentinel: ``node == N`` terminates.
+    """
+
+    node_box: jnp.ndarray
+    node_meta: jnp.ndarray
+    obj_order: jnp.ndarray
+
+
+def thread_bvh(bvh: BVHArrays) -> ThreadedBVH:
+    """Renumber a BVHArrays tree in DFS pre-order and add skip links.
+
+    Host-side numpy; returns numpy tables — device_put the result once
+    (eager per-array transfers are network roundtrips on remote TPU).
+    """
+    leaf = np.asarray(jax.device_get(bvh.node_leaf))
+    index = np.asarray(jax.device_get(bvh.node_index), np.int64)
+    nobjs = np.asarray(jax.device_get(bvh.node_nobjs), np.int64)
+    nmin = np.asarray(jax.device_get(bvh.node_min), np.float32)
+    nmax = np.asarray(jax.device_get(bvh.node_max), np.float32)
+    N = leaf.shape[0]
+
+    # subtree sizes: children always have larger ids than their parent
+    # (appended after, bvh.cpp:206-222), so one reverse sweep suffices
+    size = np.ones(N, np.int64)
+    for i in range(N - 1, -1, -1):
+        if not leaf[i]:
+            l = index[i]
+            size[i] = 1 + size[l] + size[l + 1]
+
+    # iterative pre-order: left child pushed last -> popped first -> new
+    # id of left child is parent + 1
+    order_old = np.empty(N, np.int64)
+    stack = [0]
+    c = 0
+    while stack:
+        o = stack.pop()
+        order_old[c] = o
+        c += 1
+        if not leaf[o]:
+            l = index[o]
+            stack.append(l + 1)
+            stack.append(l)
+    assert c == N
+
+    box = np.concatenate([nmin[order_old], nmax[order_old]], axis=1)
+    meta = np.stack([
+        np.arange(N, dtype=np.int64) + size[order_old],  # skip link
+        index[order_old],  # first object for leaves (left child unused)
+        nobjs[order_old],
+        leaf[order_old].astype(np.int64),
+    ], axis=1)
+    return ThreadedBVH(
+        node_box=box.astype(np.float32),
+        node_meta=meta.astype(np.int32),
+        obj_order=np.asarray(jax.device_get(bvh.obj_order), np.int32))
+
+
+def make_threaded_intersectors(scene: SceneData, tb: ThreadedBVH,
+                               motion_blur: bool = False):
+    """Batched stackless traversal — the TPU-native BVH path.
+
+    One ``lax.while_loop`` over the whole ray batch; per iteration each lane
+    either tests its current node's AABB (descend/skip) or tests one object
+    of its current leaf.  All memory access is vector gathers from the
+    HBM-resident node/object tables.  ``tb`` must be threaded host-side
+    (``thread_bvh``) — its tables then cross jit boundaries as pytree args.
+    """
+    tb = ThreadedBVH(*(jnp.asarray(a) for a in tb))
+    obj_data, obj_types, obj_mats = scene.packed_objects()
+    node_box, node_meta, oorder = tb.node_box, tb.node_meta, tb.obj_order
+    N = node_box.shape[0]
+    n_obj_tab = oorder.shape[0]
+
+    # One fused gather per step: node row = [bmin, bmax, skip, first, nobj,
+    # leaf] (N, 10) f32; object rows are pre-permuted into leaf order and
+    # carry type/mat/gid, so the leaf step is a single (O, 15) gather.  The
+    # int fields ride as exact float *values* (all < 2^24) — NOT bitcasts:
+    # small-int bit patterns are f32 denormals, which TPU flushes to zero,
+    # corrupting skip links into infinite traversal loops.
+    fenc = lambda a: a.astype(jnp.float32)
+    node_row = jnp.concatenate([node_box, fenc(node_meta)], axis=1)
+    obj_row = jnp.concatenate(
+        [obj_data, fenc(obj_types)[:, None], fenc(obj_mats)[:, None]],
+        axis=1)[oorder]
+    obj_row = jnp.concatenate([obj_row, fenc(oorder)[:, None]], axis=1)
+    ibits = lambda a: a.astype(jnp.int32)
+    # which primitive types can appear in leaves (static — prunes the
+    # formulas hit_packed evaluates)
+    types_present = tuple(sorted(set(scene.static.obj_types)))
+
+    def _traverse(o, d, time, shadow_dist=None):
+        is_shadow = shadow_dist is not None
+        R = o.shape[0]
+
+        state = dict(
+            node=jnp.zeros((R,), jnp.int32),
+            obj_k=jnp.full((R,), -1, jnp.int32),  # >=0: cursor into a leaf
+            best_t=jnp.full((R,), FLT_MAX, jnp.float32),
+            best_n=jnp.zeros((R, 3), jnp.float32),
+            best_obj=jnp.full((R,), -1, jnp.int32),
+            occluded=jnp.zeros((R,), jnp.bool_),
+        )
+
+        def cond(s):
+            return jnp.any(s["node"] < N)
+
+        def body(s):
+            node = s["node"]
+            active = node < N
+            row = jnp.take(node_row, jnp.minimum(node, N - 1), axis=0)
+            box = row[:, 0:6]
+            skip, first, nobj = (ibits(row[:, 6]), ibits(row[:, 7]),
+                                 ibits(row[:, 8]))
+            is_leaf = ibits(row[:, 9]) != 0
+            in_leaf = s["obj_k"] >= 0
+
+            # ---- leaf-object step (lanes with a cursor) ----
+            slot = jnp.clip(first + s["obj_k"], 0, n_obj_tab - 1)
+            orow = jnp.take(obj_row, slot, axis=0)
+            gid = ibits(orow[:, 14])
+            t, nrm = hit_packed(o, d, time, orow[:, 0:12],
+                                ibits(orow[:, 12]), motion_blur,
+                                types_present=types_present)
+            if is_shadow:
+                occ_now = (t <= shadow_dist + EPSILON)
+            else:
+                occ_now = jnp.zeros_like(t, jnp.bool_)
+            test = active & in_leaf
+            better = test & (t < s["best_t"])
+            best_t = jnp.where(better, t, s["best_t"])
+            best_n = jnp.where(better[:, None], nrm, s["best_n"])
+            best_obj = jnp.where(better, gid, s["best_obj"])
+            occluded = s["occluded"] | (test & occ_now)
+
+            k2 = s["obj_k"] + 1
+            leaf_done = k2 >= nobj
+            node_L = jnp.where(leaf_done, skip, node)
+            obj_k_L = jnp.where(leaf_done, -1, k2)
+
+            # ---- node step (lanes without a cursor) ----
+            ok, tent = _aabb_hit_v(o, d, box[:, 0:3], box[:, 3:6])
+            tent = jnp.where(_inside_v(o, box[:, 0:3], box[:, 3:6]),
+                             0.0, tent)
+            if is_shadow:
+                visit = ok
+            else:
+                # pruned pops of bvh.cpp:300-308: skip when entry >= best_t
+                visit = ok & (tent < best_t)
+            enter_leaf = visit & is_leaf & (nobj > 0)
+            node_N = jnp.where(visit & ~is_leaf, node + 1,
+                               jnp.where(enter_leaf, node, skip))
+            obj_k_N = jnp.where(enter_leaf, 0, -1)
+
+            new_node = jnp.where(in_leaf, node_L, node_N)
+            new_obj_k = jnp.where(in_leaf, obj_k_L, obj_k_N)
+            if is_shadow:
+                # stop a lane as soon as it is occluded (bvh.cpp:381-387)
+                new_node = jnp.where(occluded, N, new_node)
+                new_obj_k = jnp.where(occluded, -1, new_obj_k)
+            new_node = jnp.where(active, new_node, node)
+
+            return dict(node=new_node, obj_k=new_obj_k, best_t=best_t,
+                        best_n=best_n, best_obj=best_obj, occluded=occluded)
+
+        s = jax.lax.while_loop(cond, body, state)
+        if is_shadow:
+            return s["occluded"]
+        hit = s["best_obj"] >= 0
+        return (hit, jnp.where(hit, s["best_t"], FLT_MAX), s["best_n"],
+                s["best_obj"])
+
+    def closest(o, d, time):
+        from distributionraytracer_tpu.ops.intersect import HitResult
+        hit, t, nrm, gid = _traverse(o, d, time)
+        mat = obj_mats[jnp.maximum(gid, 0)]
+        return HitResult(hit=hit, t=t, normal=nrm, obj_id=gid, mat_id=mat)
+
+    def shadow(o, d, dist, exclude_obj):
+        del exclude_obj  # reference BVH shadow has no self-exclusion
+        return _traverse(o, d, jnp.zeros(o.shape[:-1], jnp.float32),
+                         shadow_dist=dist)
+
+    from distributionraytracer_tpu.integrator.whitted import Intersectors
+    return Intersectors(closest, shadow)
+
+
+def _aabb_hit_v(o, d, lo, hi):
+    """Batched AABB::hit entry-t semantics (boundingBox.cpp:64-124)."""
+    a = 1.0 / d
+    tmin = jnp.where(a >= 0, (lo - o) * a, (hi - o) * a)
+    tmax = jnp.where(a >= 0, (hi - o) * a, (lo - o) * a)
+    t0 = jnp.max(tmin, axis=-1)
+    t1 = jnp.min(tmax, axis=-1)
+    t = jnp.where(t0 < 0, t1, t0)
+    return (t0 < t1) & (t1 > 0), t
+
+
+def _inside_v(o, lo, hi):
+    return jnp.all((o > lo) & (o < hi), axis=-1)
 
 
 # --------------------------------------------------------------- traversal
@@ -187,6 +418,7 @@ def _inside(o, lo, hi):
 
 def make_bvh_intersectors(scene: SceneData, bvh: BVHArrays,
                           motion_blur: bool = False):
+    bvh = BVHArrays(*(jnp.asarray(a) for a in bvh))
     obj_data, obj_types, obj_mats = scene.packed_objects()
     nmin, nmax = bvh.node_min, bvh.node_max
     nleaf, nindex, nnobjs = bvh.node_leaf, bvh.node_index, bvh.node_nobjs

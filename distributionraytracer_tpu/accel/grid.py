@@ -126,12 +126,14 @@ def build_grid(scene: SceneData, m: float = 2.0) -> GridArrays:
     start = np.zeros(nx * ny * nz + 1, np.int64)
     np.cumsum(counts, out=start[1:])
 
+    # numpy on purpose: eager jnp.asarray is a network roundtrip per array
+    # on remote-TPU platforms; callers device_put the structure once
     return GridArrays(
-        bbox_min=jnp.asarray(gmin, jnp.float32),
-        bbox_max=jnp.asarray(gmax, jnp.float32),
-        ncells=jnp.asarray([nx, ny, nz], jnp.int32),
-        cell_start=jnp.asarray(start, jnp.int32),
-        cell_objs=jnp.asarray(obj_ids, jnp.int32))
+        bbox_min=np.asarray(gmin, np.float32),
+        bbox_max=np.asarray(gmax, np.float32),
+        ncells=np.asarray([nx, ny, nz], np.int32),
+        cell_start=start.astype(np.int32),
+        cell_objs=obj_ids.astype(np.int32))
 
 
 # --------------------------------------------------------------- traversal
@@ -166,6 +168,7 @@ def _init_traverse(grid: GridArrays, o, d):
 def make_grid_intersectors(scene: SceneData, grid: GridArrays,
                            motion_blur: bool = False):
     """Closest-hit + shadow functions (Intersectors-compatible)."""
+    grid = GridArrays(*(jnp.asarray(a) for a in grid))
     obj_data, obj_types, obj_mats = scene.packed_objects()
     cs, co = grid.cell_start, grid.cell_objs
     n = grid.ncells

@@ -52,6 +52,11 @@ class RenderConfig:
     max_samples: int = 10000
     shadow_mode: str = "reference"  # 'reference' | 'correct'
     tile_rays: int = 65536
+    # Tile size for grid/BVH traversal loops.  XLA's gather lowering on TPU
+    # degrades super-linearly with batched-while state size (measured:
+    # 16k lanes -> 0.35 Mrays/s, 262k lanes -> 0.03 Mrays/s on the dragon
+    # BVH), so accelerated scenes run smaller wavefronts than brute force.
+    accel_tile_rays: int = 16384
     # Path-tracer knobs (P3D_RT.glsl:581, 739)
     max_bounces: int = 10
     russian_roulette: bool = True

@@ -148,7 +148,7 @@ def render_from_samples(scene: SceneData, cfg: RenderConfig,
     o, d, t, ls = _rays_from_samples(scene, cfg, samples, row_offset)
 
     n = o.shape[0]
-    tile = min(cfg.tile_rays, n)
+    tile = min(cfg.tile_rays if inter is None else cfg.accel_tile_rays, n)
     pad = (-n) % tile
     if pad:
         padf = lambda a: jnp.concatenate(

@@ -274,69 +274,77 @@ def any_hit_brute(scene: SceneData, o, d, time, max_dist, exclude_obj,
 
 
 # ------------------------------------------------------- packed-row kernels
-def hit_packed(o, d, time, row, typ, motion_blur: bool):
+def hit_packed(o, d, time, row, typ, motion_blur: bool,
+               types_present=(OBJ_SPHERE, OBJ_TRIANGLE, OBJ_PLANE, OBJ_BOX)):
     """Intersect each ray with one packed primitive row (for accel leaves).
 
     ``row``: (..., 12) packed params, ``typ``: (...,) int32 type tag.
-    Returns (t, normal) with t=+FLT_MAX on miss.  Computes all four candidate
-    types on the VPU and selects by tag; cheaper than scalar dispatch under
-    SIMD.
+    Returns (t, normal) with t=+FLT_MAX on miss.  Computes the candidate
+    formulas for every type in ``types_present`` (a static, scene-derived
+    set — a mesh scene only pays for triangles + planes) on the VPU and
+    selects by tag; cheaper than scalar dispatch under SIMD.
     """
-    # sphere
-    center, radius = row[..., 0:3], row[..., 3]
-    if motion_blur:
-        center = center + jnp.array([0.0, 1.0, 0.0], jnp.float32) * time[..., None]
-    oc = o - center
-    a = dot(d, d)
-    b = 2.0 * dot(oc, d)
-    cq = dot(oc, oc) - radius * radius
-    disc = b * b - 4 * a * cq
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-b - sq) / (2 * a)
-    t2 = (-b + sq) / (2 * a)
-    t_s = jnp.where(t1 > EPSILON, t1, t2)
-    ok_s = (disc >= 0) & (t_s > EPSILON)
-    p = o + d * t_s[..., None]
-    n_s = normalize(p - center)
+    cand = {}  # type -> (t_masked, normal)
 
-    # triangle
-    v0, e1, e2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
-    h = cross(d, e2)
-    a_t = dot(e1, h)
-    f = 1.0 / a_t
-    s = o - v0
-    u = f * dot(s, h)
-    q = cross(s, e1)
-    v = f * dot(d, q)
-    t_t = f * dot(e2, q)
-    ok_t = (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t_t > EPSILON)
-    n_t = normalize(cross(e1, e2))
+    if OBJ_SPHERE in types_present:
+        center, radius = row[..., 0:3], row[..., 3]
+        if motion_blur:
+            center = center + (jnp.array([0.0, 1.0, 0.0], jnp.float32)
+                               * time[..., None])
+        oc = o - center
+        a = dot(d, d)
+        b = 2.0 * dot(oc, d)
+        cq = dot(oc, oc) - radius * radius
+        disc = b * b - 4 * a * cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sq) / (2 * a)
+        t2 = (-b + sq) / (2 * a)
+        t_s = jnp.where(t1 > EPSILON, t1, t2)
+        ok_s = (disc >= 0) & (t_s > EPSILON)
+        p = o + d * t_s[..., None]
+        cand[OBJ_SPHERE] = (jnp.where(ok_s, t_s, FLT_MAX),
+                            normalize(p - center))
 
-    # plane
-    pn, pd = row[..., 0:3], row[..., 3]
-    denom = dot(d, pn)
-    t_p = -(dot(o, pn) + pd) / denom
-    ok_p = (jnp.abs(denom) >= EPSILON) & (t_p > 0.0)
+    if OBJ_TRIANGLE in types_present:
+        v0, e1, e2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        h = cross(d, e2)
+        a_t = dot(e1, h)
+        f = 1.0 / a_t
+        s = o - v0
+        u = f * dot(s, h)
+        q = cross(s, e1)
+        v = f * dot(d, q)
+        t_t = f * dot(e2, q)
+        ok_t = (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t_t > EPSILON)
+        cand[OBJ_TRIANGLE] = (jnp.where(ok_t, t_t, FLT_MAX),
+                              normalize(cross(e1, e2)))
 
-    # box
-    bmin, bmax = row[..., 0:3], row[..., 3:6]
-    inv = 1.0 / d
-    ta = (bmin - o) * inv
-    tb = (bmax - o) * inv
-    tmin = jnp.max(jnp.minimum(ta, tb), axis=-1)
-    tmax = jnp.min(jnp.maximum(ta, tb), axis=-1)
-    ok_b = (tmin <= tmax) & (tmin > EPSILON)
-    n_b = box_normal(o, d, tmin, bmin, bmax)
+    if OBJ_PLANE in types_present:
+        pn, pd = row[..., 0:3], row[..., 3]
+        denom = dot(d, pn)
+        t_p = -(dot(o, pn) + pd) / denom
+        ok_p = (jnp.abs(denom) >= EPSILON) & (t_p > 0.0)
+        cand[OBJ_PLANE] = (jnp.where(ok_p, t_p, FLT_MAX), pn)
 
-    t = jnp.select(
-        [typ == OBJ_SPHERE, typ == OBJ_TRIANGLE, typ == OBJ_PLANE],
-        [jnp.where(ok_s, t_s, FLT_MAX), jnp.where(ok_t, t_t, FLT_MAX),
-         jnp.where(ok_p, t_p, FLT_MAX)],
-        jnp.where(ok_b, tmin, FLT_MAX))
-    n = jnp.select(
-        [(typ == OBJ_SPHERE)[..., None], (typ == OBJ_TRIANGLE)[..., None],
-         (typ == OBJ_PLANE)[..., None]],
-        [n_s, n_t, pn], n_b)
+    if OBJ_BOX in types_present:
+        bmin, bmax = row[..., 0:3], row[..., 3:6]
+        inv = 1.0 / d
+        ta = (bmin - o) * inv
+        tb = (bmax - o) * inv
+        tmin = jnp.max(jnp.minimum(ta, tb), axis=-1)
+        tmax = jnp.min(jnp.maximum(ta, tb), axis=-1)
+        ok_b = (tmin <= tmax) & (tmin > EPSILON)
+        cand[OBJ_BOX] = (jnp.where(ok_b, tmin, FLT_MAX),
+                         box_normal(o, d, tmin, bmin, bmax))
+
+    items = [cand[k] for k in types_present if k in cand]
+    tags = [k for k in types_present if k in cand]
+    if len(items) == 1:
+        return items[0]
+    t = jnp.select([typ == k for k in tags[:-1]],
+                   [it[0] for it in items[:-1]], items[-1][0])
+    n = jnp.select([(typ == k)[..., None] for k in tags[:-1]],
+                   [it[1] for it in items[:-1]], items[-1][1])
     return t, n
 
 

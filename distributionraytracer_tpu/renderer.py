@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from distributionraytracer_tpu.accel.bvh import (
-    BVHArrays, build_bvh, make_bvh_intersectors,
+    ThreadedBVH, build_bvh, make_threaded_intersectors, thread_bvh,
 )
 from distributionraytracer_tpu.accel.grid import (
     GridArrays, build_grid, make_grid_intersectors,
@@ -49,8 +49,8 @@ def _render_grid(scene, cfg, grid: GridArrays, samples):
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _render_bvh(scene, cfg, bvh: BVHArrays, samples):
-    inter = make_bvh_intersectors(scene, bvh, cfg.motion_blur)
+def _render_bvh(scene, cfg, tbvh: ThreadedBVH, samples):
+    inter = make_threaded_intersectors(scene, tbvh, cfg.motion_blur)
     return render_from_samples(scene, cfg, samples, inter=inter)
 
 
@@ -65,17 +65,19 @@ class Renderer:
         self.bvh = None
         t0 = time.perf_counter()
         if st.accel == ACCEL_GRID:
-            self.grid = build_grid(scene)
+            self.grid = jax.device_put(build_grid(scene))
             if verbose:
                 n = self.grid.ncells
                 print(f"GRID: total cells = {int(n[0]*n[1]*n[2])}, "
                       f"total objects = {st.n_objects}, ResX = {int(n[0])}, "
                       f"ResY = {int(n[1])}, ResZ = {int(n[2])}")
         elif st.accel == ACCEL_BVH:
-            self.bvh = build_bvh(scene)
+            # build + DFS-renumber host-side (all numpy), one device_put;
+            # traversal uses the threaded (stackless) tables
+            self.bvh = jax.device_put(thread_bvh(build_bvh(scene)))
             if verbose:
-                print(f"BVH: {self.bvh.node_min.shape[0]} nodes over "
-                      f"{st.n_objects} objects")
+                print(f"BVH: {self.bvh.node_box.shape[0]} nodes over "
+                      f"{st.n_objects} objects (threaded)")
         if verbose and st.accel != ACCEL_NONE:
             print(f"accel build: {time.perf_counter() - t0:.2f}s")
 

@@ -7,7 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from distributionraytracer_tpu.accel.bvh import build_bvh, make_bvh_intersectors
+from distributionraytracer_tpu.accel.bvh import (
+    build_bvh, make_bvh_intersectors, make_threaded_intersectors, thread_bvh,
+)
 from distributionraytracer_tpu.accel.grid import build_grid, make_grid_intersectors
 from distributionraytracer_tpu.ops.intersect import closest_hit_brute
 from distributionraytracer_tpu.scene import load_p3f
@@ -72,6 +74,54 @@ def test_bvh_matches_brute(scene):
     bvh = build_bvh(scene)
     inter = make_bvh_intersectors(scene, bvh)
     _check_closest(inter, scene)
+
+
+def test_threaded_bvh_matches_brute(scene):
+    inter = make_threaded_intersectors(scene, thread_bvh(build_bvh(scene)))
+    _check_closest(inter, scene)
+
+
+def test_threaded_bvh_shadow_matches_stack(scene):
+    """Threaded any-hit must agree with the reference stack traversal."""
+    bvh = build_bvh(scene)
+    stack = make_bvh_intersectors(scene, bvh)
+    threaded = make_threaded_intersectors(scene, thread_bvh(bvh))
+    n = 256
+    rng = np.random.default_rng(11)
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)), jnp.float32)
+    dv = rng.normal(size=(n, 3))
+    dv /= np.linalg.norm(dv, axis=1, keepdims=True)
+    d = jnp.asarray(dv, jnp.float32)
+    dist = jnp.asarray(rng.uniform(1, 12, n), jnp.float32)
+    excl = jnp.full((n,), -1, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(stack.shadow(o, d, dist, excl)),
+        np.asarray(threaded.shadow(o, d, dist, excl)))
+
+
+def test_threaded_bvh_mesh(scenes_dir):
+    """Threaded traversal on the blueDiamond mesh vs the stack traversal."""
+    scene = load_p3f(os.path.join(scenes_dir, "blueDiamond.p3f"),
+                     load_sky=False).device_put()
+    bvh = build_bvh(scene)
+    stack = make_bvh_intersectors(scene, bvh)
+    threaded = make_threaded_intersectors(scene, thread_bvh(bvh))
+    n = 512
+    rng = np.random.default_rng(13)
+    o = jnp.asarray(rng.uniform(-2, 8, (n, 3)), jnp.float32)
+    target = rng.uniform(-1, 4, (n, 3))
+    d = target - np.asarray(o)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    time = jnp.zeros(n)
+    a = stack.closest(o, d, time)
+    b = threaded.closest(o, d, time)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    m = np.asarray(a.hit)
+    np.testing.assert_allclose(np.asarray(a.t)[m], np.asarray(b.t)[m],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.obj_id)[m],
+                                  np.asarray(b.obj_id)[m])
 
 
 def test_shadow_agreement(scene):
