@@ -49,25 +49,31 @@ def object_bboxes(scene: SceneData) -> np.ndarray:
     """
     st = scene.static
     g = lambda a: np.asarray(jax.device_get(a), np.float32)
-    sph_c, sph_r = g(scene.sph_center), g(scene.sph_radius)
-    tri_v0, tri_e1, tri_e2 = g(scene.tri_v0), g(scene.tri_e1), g(scene.tri_e2)
-    box_min, box_max = g(scene.box_min), g(scene.box_max)
+    types = np.array(st.obj_types, np.int64)
+    tidx = np.array(st.obj_tidx, np.int64)
     out = np.zeros((st.n_objects, 2, 3), np.float32)
-    for gid, (typ, ti) in enumerate(zip(st.obj_types, st.obj_tidx)):
-        if typ == OBJ_SPHERE:
-            out[gid, 0] = sph_c[ti] - sph_r[ti]
-            out[gid, 1] = sph_c[ti] + sph_r[ti]
-        elif typ == OBJ_TRIANGLE:
-            pts = np.stack([tri_v0[ti], tri_v0[ti] + tri_e1[ti],
-                            tri_v0[ti] + tri_e2[ti]])
-            out[gid, 0] = pts.min(0) - EPSILON
-            out[gid, 1] = pts.max(0) + EPSILON
-        elif typ == OBJ_PLANE:
-            out[gid, 0] = -1.0
-            out[gid, 1] = 1.0
-        else:
-            out[gid, 0] = box_min[ti]
-            out[gid, 1] = box_max[ti]
+
+    m = types == OBJ_SPHERE
+    if m.any():
+        c, r = g(scene.sph_center)[tidx[m]], g(scene.sph_radius)[tidx[m]]
+        out[m, 0] = c - r[:, None]
+        out[m, 1] = c + r[:, None]
+    m = types == OBJ_TRIANGLE
+    if m.any():
+        i = tidx[m]
+        v0 = g(scene.tri_v0)[i]
+        pts = np.stack([v0, v0 + g(scene.tri_e1)[i],
+                        v0 + g(scene.tri_e2)[i]], axis=1)  # (n,3,3)
+        out[m, 0] = pts.min(1) - EPSILON
+        out[m, 1] = pts.max(1) + EPSILON
+    m = types == OBJ_PLANE
+    if m.any():
+        out[m, 0] = -1.0
+        out[m, 1] = 1.0
+    m = types == OBJ_BOX
+    if m.any():
+        out[m, 0] = g(scene.box_min)[tidx[m]]
+        out[m, 1] = g(scene.box_max)[tidx[m]]
     return out
 
 
@@ -137,6 +143,162 @@ def build_grid(scene: SceneData, m: float = 2.0) -> GridArrays:
 
 
 # --------------------------------------------------------------- traversal
+def _init_traverse_batched(grid: GridArrays, o, d):
+    """Init_Traverse (grid.cpp:100-244), batched over rays (R, 3)."""
+    a = 1.0 / d  # +-inf on zeros, sign of zero matters (as in C++)
+    lo = grid.bbox_min
+    hi = grid.bbox_max
+    tmin = jnp.where(a >= 0, (lo - o) * a, (hi - o) * a)  # (R,3)
+    tmax = jnp.where(a >= 0, (hi - o) * a, (lo - o) * a)
+    t0 = jnp.max(tmin, axis=-1)
+    t1 = jnp.min(tmax, axis=-1)
+    ok = ~((t0 > t1) | (t1 < 0))
+
+    n = grid.ncells  # (3,)
+    nf = n.astype(jnp.float32)
+    inside = jnp.all((o > lo) & (o < hi), axis=-1)
+    p = jnp.where(inside[:, None], o, o + d * t0[:, None])
+    cell = jnp.clip(((p - lo) * nf / (hi - lo)).astype(jnp.int32), 0, n - 1)
+
+    dt = (tmax - tmin) / nf
+    pos = d > 0
+    t_next = jnp.where(
+        pos, tmin + (cell + 1).astype(jnp.float32) * dt,
+        tmin + (n - cell).astype(jnp.float32) * dt)
+    t_next = jnp.where(d == 0.0, FLT_MAX, t_next)
+    step = jnp.where(pos, 1, -1).astype(jnp.int32)
+    stop = jnp.where(pos, n[None, :], -1).astype(jnp.int32)
+    return ok, cell, dt, t_next, step, stop
+
+
+def make_grid_intersectors(scene: SceneData, grid: GridArrays,
+                           motion_blur: bool = False):
+    """Batched 3D-DDA — the TPU-native grid path.
+
+    One ``lax.while_loop`` over the whole ray batch; per iteration each lane
+    either tests one object of its current cell or advances the DDA —
+    uniform vector work, no vmapped per-lane state machines.  Cell ranges
+    and the cell-ordered object rows are single fused gathers.
+    Reference semantics preserved (see module docstring).
+    """
+    grid = GridArrays(*(jnp.asarray(a) for a in grid))
+    obj_data, obj_types, obj_mats = scene.packed_objects()
+    n = grid.ncells
+    # (C, 2) [start, end] so one gather yields the cell's object range
+    cell_se = jnp.stack([grid.cell_start[:-1], grid.cell_start[1:]], axis=1)
+    # object rows pre-permuted into cell order: [12 params, type, mat, gid]
+    fenc = lambda a: a.astype(jnp.float32)  # exact for ints < 2^24
+    co = grid.cell_objs
+    obj_row = jnp.concatenate(
+        [obj_data, fenc(obj_types)[:, None], fenc(obj_mats)[:, None]],
+        axis=1)[co]
+    obj_row = jnp.concatenate([obj_row, fenc(co)[:, None]], axis=1)
+    n_obj_tab = co.shape[0]
+    types_present = tuple(sorted(set(scene.static.obj_types)))
+
+    def _cell_linear(cell):
+        return cell[:, 0] + n[0] * cell[:, 1] + n[0] * n[1] * cell[:, 2]
+
+    def _traverse(o, d, time, shadow_dist=None):
+        is_shadow = shadow_dist is not None
+        R = o.shape[0]
+        ok, cell, dt, t_next, step, stop = _init_traverse_batched(grid, o, d)
+
+        se = jnp.take(cell_se, _cell_linear(cell), axis=0)
+        state = dict(
+            cell=cell, t_next=t_next,
+            ptr=jnp.where(ok, se[:, 0], 0), end=jnp.where(ok, se[:, 1], 0),
+            best_t=jnp.full((R,), FLT_MAX, jnp.float32),
+            best_n=jnp.zeros((R, 3), jnp.float32),
+            best_obj=jnp.full((R,), -1, jnp.int32),
+            # Init failure counts as shadowed (grid.cpp:321-324)
+            occluded=~ok if is_shadow else jnp.zeros((R,), jnp.bool_),
+            active=ok, found=jnp.zeros((R,), jnp.bool_))
+
+        def cond(s):
+            return jnp.any(s["active"])
+
+        def body(s):
+            act = s["active"]
+            has_obj = act & (s["ptr"] < s["end"])
+
+            # --- test one object of the current cell ---
+            orow = jnp.take(obj_row, jnp.clip(s["ptr"], 0, n_obj_tab - 1),
+                            axis=0)
+            t, nrm = hit_packed(o, d, time, orow[:, 0:12],
+                                orow[:, 12].astype(jnp.int32), motion_blur,
+                                types_present=types_present)
+            gid = orow[:, 14].astype(jnp.int32)
+            if is_shadow:
+                occ = has_obj & (t < shadow_dist)
+                best_t, best_n, best_obj = (s["best_t"], s["best_n"],
+                                            s["best_obj"])
+            else:
+                occ = jnp.zeros((R,), jnp.bool_)
+                better = has_obj & (t < s["best_t"])
+                best_t = jnp.where(better, t, s["best_t"])
+                best_n = jnp.where(better[:, None], nrm, s["best_n"])
+                best_obj = jnp.where(better, gid, s["best_obj"])
+            ptr = jnp.where(has_obj, s["ptr"] + 1, s["ptr"])
+
+            # --- advance the DDA when the cell is exhausted ---
+            adv = act & ~has_obj
+            tn = s["t_next"]
+            axis = jnp.where(
+                (tn[:, 0] < tn[:, 1]) & (tn[:, 0] < tn[:, 2]), 0,
+                jnp.where(tn[:, 1] < tn[:, 2], 1, 2))
+            onehot = jax.nn.one_hot(axis, 3, dtype=jnp.float32)
+            onehot_i = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+            tn_axis = jnp.sum(tn * onehot, axis=-1)
+            if is_shadow:
+                hit_now = jnp.zeros((R,), jnp.bool_)
+            else:
+                # closest-hit early exit (grid.cpp:277-304)
+                hit_now = best_t < tn_axis
+            stepping0 = adv & ~hit_now
+            t_next2 = jnp.where(stepping0[:, None], tn + onehot * dt, tn)
+            cell2 = jnp.where(stepping0[:, None],
+                              s["cell"] + onehot_i * step, s["cell"])
+            out = jnp.sum(cell2 * onehot_i, axis=-1) == jnp.sum(
+                stop * onehot_i, axis=-1)
+            stepping = stepping0 & ~out
+            se2 = jnp.take(cell_se,
+                           _cell_linear(jnp.clip(cell2, 0, n - 1)), axis=0)
+            ptr = jnp.where(stepping, se2[:, 0], ptr)
+            end = jnp.where(stepping, se2[:, 1], s["end"])
+
+            occluded = s["occluded"] | occ
+            found = s["found"] | (adv & hit_now)
+            if is_shadow:
+                active = act & ~occ & ~(adv & out)
+            else:
+                active = act & ~(adv & (hit_now | out))
+            return dict(cell=cell2, t_next=t_next2, ptr=ptr, end=end,
+                        best_t=best_t, best_n=best_n, best_obj=best_obj,
+                        occluded=occluded, active=active, found=found)
+
+        s = jax.lax.while_loop(cond, body, state)
+        if is_shadow:
+            return s["occluded"]
+        hit = s["found"]
+        return (hit, jnp.where(hit, s["best_t"], FLT_MAX), s["best_n"],
+                jnp.where(hit, s["best_obj"], -1))
+
+    def closest(o, d, time):
+        from distributionraytracer_tpu.ops.intersect import HitResult
+        hit, t, nrm, gid = _traverse(o, d, time)
+        mat = obj_mats[jnp.maximum(gid, 0)]
+        return HitResult(hit=hit, t=t, normal=nrm, obj_id=gid, mat_id=mat)
+
+    def shadow(o, d, dist, exclude_obj):
+        del exclude_obj  # grid traversal has no self-exclusion
+        return _traverse(o, d, jnp.zeros(o.shape[:-1], jnp.float32),
+                         shadow_dist=dist)
+
+    from distributionraytracer_tpu.integrator.whitted import Intersectors
+    return Intersectors(closest, shadow)
+
+
 def _init_traverse(grid: GridArrays, o, d):
     """Init_Traverse (grid.cpp:100-244) for one ray. Returns dict of scalars."""
     a = 1.0 / d  # +-inf on zeros, sign of zero matters (as in C++)
@@ -165,9 +327,10 @@ def _init_traverse(grid: GridArrays, o, d):
     return ok, cell, dt, t_next, step, stop
 
 
-def make_grid_intersectors(scene: SceneData, grid: GridArrays,
-                           motion_blur: bool = False):
-    """Closest-hit + shadow functions (Intersectors-compatible)."""
+def make_grid_scalar_intersectors(scene: SceneData, grid: GridArrays,
+                                  motion_blur: bool = False):
+    """vmapped per-ray DDA state machine — kept as the reference-shaped
+    implementation for cross-checks; prefer make_grid_intersectors."""
     grid = GridArrays(*(jnp.asarray(a) for a in grid))
     obj_data, obj_types, obj_mats = scene.packed_objects()
     cs, co = grid.cell_start, grid.cell_objs

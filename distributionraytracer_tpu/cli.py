@@ -62,6 +62,23 @@ def _cmd_render(args):
     print(f"Image file created: {args.output}")
 
 
+def _cmd_view(args):
+    import dataclasses
+    from distributionraytracer_tpu.integrator.render import default_config
+    from distributionraytracer_tpu.scene import load_p3f
+    from distributionraytracer_tpu.viewer import serve
+
+    scene = load_p3f(args.scene)
+    if args.res:
+        scene = dataclasses.replace(
+            scene, static=dataclasses.replace(
+                scene.static, res_x=args.res[0], res_y=args.res[1]))
+    cfg = default_config(scene)
+    if args.spp is not None:
+        cfg = cfg.replace(spp=args.spp)
+    serve(scene, cfg, port=args.port)
+
+
 def _cmd_pathtrace(args):
     import jax
     import jax.numpy as jnp
@@ -120,6 +137,14 @@ def main(argv=None):
     r.add_argument("--motion-blur", action="store_true")
     r.add_argument("--progressive", type=int, default=0, metavar="FRAMES")
     r.set_defaults(fn=_cmd_render)
+
+    v = sub.add_parser("view", help="interactive progressive viewer "
+                                    "(orbit camera, browser UI)")
+    v.add_argument("scene")
+    v.add_argument("--port", type=int, default=8765)
+    v.add_argument("--res", type=int, nargs=2, default=None)
+    v.add_argument("--spp", type=int, default=None)
+    v.set_defaults(fn=_cmd_view)
 
     t = sub.add_parser("pathtrace", help="Monte Carlo path trace (GLSL scenes 0-4)")
     t.add_argument("--scene", type=int, default=0, choices=range(5))

@@ -10,7 +10,9 @@ import pytest
 from distributionraytracer_tpu.accel.bvh import (
     build_bvh, make_bvh_intersectors, make_threaded_intersectors, thread_bvh,
 )
-from distributionraytracer_tpu.accel.grid import build_grid, make_grid_intersectors
+from distributionraytracer_tpu.accel.grid import (
+    build_grid, make_grid_intersectors, make_grid_scalar_intersectors,
+)
 from distributionraytracer_tpu.ops.intersect import closest_hit_brute
 from distributionraytracer_tpu.scene import load_p3f
 from distributionraytracer_tpu.scene.builder import SceneBuilder
@@ -68,6 +70,29 @@ def test_grid_matches_brute(scene):
     grid = build_grid(scene)
     inter = make_grid_intersectors(scene, grid)
     _check_closest(inter, scene)
+
+
+def test_grid_batched_matches_scalar(scene):
+    """Batched DDA must agree with the reference-shaped vmapped machine,
+    including the walks-out-of-grid and Init_Traverse-failure quirks."""
+    grid = build_grid(scene)
+    a = make_grid_scalar_intersectors(scene, grid)
+    b = make_grid_intersectors(scene, grid)
+    o, d = random_rays(512, seed=9)
+    time = jnp.zeros(512)
+    ha = a.closest(o, d, time)
+    hb = b.closest(o, d, time)
+    np.testing.assert_array_equal(np.asarray(ha.hit), np.asarray(hb.hit))
+    m = np.asarray(ha.hit)
+    np.testing.assert_allclose(np.asarray(ha.t)[m], np.asarray(hb.t)[m],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ha.obj_id), np.asarray(hb.obj_id))
+    rng = np.random.default_rng(10)
+    dist = jnp.asarray(rng.uniform(0.5, 10, 512), jnp.float32)
+    excl = jnp.full((512,), -1, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(a.shadow(o, d, dist, excl)),
+        np.asarray(b.shadow(o, d, dist, excl)))
 
 
 def test_bvh_matches_brute(scene):
