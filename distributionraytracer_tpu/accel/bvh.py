@@ -289,21 +289,31 @@ def make_threaded_intersectors(scene: SceneData, tb: ThreadedBVH,
     # formulas hit_packed evaluates)
     types_present = tuple(sorted(set(scene.static.obj_types)))
 
-    def _traverse(o, d, time, shadow_dist=None):
+    def _traverse(o, d, time, shadow_dist=None, valid=None):
         is_shadow = shadow_dist is not None
         R = o.shape[0]
 
+        start = jnp.zeros((R,), jnp.int32)
+        if valid is not None:
+            # dead ray-tree lanes start at the sentinel: done immediately
+            start = jnp.where(valid, start, N)
         state = dict(
-            node=jnp.zeros((R,), jnp.int32),
+            node=start,
             obj_k=jnp.full((R,), -1, jnp.int32),  # >=0: cursor into a leaf
             best_t=jnp.full((R,), FLT_MAX, jnp.float32),
             best_n=jnp.zeros((R, 3), jnp.float32),
             best_obj=jnp.full((R,), -1, jnp.int32),
             occluded=jnp.zeros((R,), jnp.bool_),
+            it=jnp.zeros((), jnp.int32),
         )
 
+        # a DFS visits each node at most once and each object cursor step
+        # consumes one leaf slot; the hard bound guards the TPU watchdog
+        # against any corrupted-link infinite walk
+        max_iters = np.int32(N + n_obj_tab + 64)
+
         def cond(s):
-            return jnp.any(s["node"] < N)
+            return jnp.any(s["node"] < N) & (s["it"] < max_iters)
 
         def body(s):
             node = s["node"]
@@ -361,7 +371,8 @@ def make_threaded_intersectors(scene: SceneData, tb: ThreadedBVH,
             new_node = jnp.where(active, new_node, node)
 
             return dict(node=new_node, obj_k=new_obj_k, best_t=best_t,
-                        best_n=best_n, best_obj=best_obj, occluded=occluded)
+                        best_n=best_n, best_obj=best_obj, occluded=occluded,
+                        it=s["it"] + 1)
 
         s = jax.lax.while_loop(cond, body, state)
         if is_shadow:
@@ -370,16 +381,16 @@ def make_threaded_intersectors(scene: SceneData, tb: ThreadedBVH,
         return (hit, jnp.where(hit, s["best_t"], FLT_MAX), s["best_n"],
                 s["best_obj"])
 
-    def closest(o, d, time):
+    def closest(o, d, time, valid=None):
         from distributionraytracer_tpu.ops.intersect import HitResult
-        hit, t, nrm, gid = _traverse(o, d, time)
+        hit, t, nrm, gid = _traverse(o, d, time, valid=valid)
         mat = obj_mats[jnp.maximum(gid, 0)]
         return HitResult(hit=hit, t=t, normal=nrm, obj_id=gid, mat_id=mat)
 
-    def shadow(o, d, dist, exclude_obj):
+    def shadow(o, d, dist, exclude_obj, valid=None):
         del exclude_obj  # reference BVH shadow has no self-exclusion
         return _traverse(o, d, jnp.zeros(o.shape[:-1], jnp.float32),
-                         shadow_dist=dist)
+                         shadow_dist=dist, valid=valid)
 
     from distributionraytracer_tpu.integrator.whitted import Intersectors
     return Intersectors(closest, shadow)
@@ -540,13 +551,15 @@ def make_bvh_intersectors(scene: SceneData, bvh: BVHArrays,
     shadow_v = jax.vmap(lambda o, d, dist: _traverse_one(
         o, d, np.float32(0.0), shadow_dist=dist))
 
-    def closest(o, d, time):
+    def closest(o, d, time, valid=None):
+        del valid  # reference-shaped path ignores lane masking
         from distributionraytracer_tpu.ops.intersect import HitResult
         hit, t, nrm, gid = closest_v(o, d, time)
         mat = obj_mats[jnp.maximum(gid, 0)]
         return HitResult(hit=hit, t=t, normal=nrm, obj_id=gid, mat_id=mat)
 
-    def shadow(o, d, dist, exclude_obj):
+    def shadow(o, d, dist, exclude_obj, valid=None):
+        del valid
         del exclude_obj
         return shadow_v(o, d, dist)
 

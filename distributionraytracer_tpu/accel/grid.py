@@ -199,10 +199,12 @@ def make_grid_intersectors(scene: SceneData, grid: GridArrays,
     def _cell_linear(cell):
         return cell[:, 0] + n[0] * cell[:, 1] + n[0] * n[1] * cell[:, 2]
 
-    def _traverse(o, d, time, shadow_dist=None):
+    def _traverse(o, d, time, shadow_dist=None, valid=None):
         is_shadow = shadow_dist is not None
         R = o.shape[0]
         ok, cell, dt, t_next, step, stop = _init_traverse_batched(grid, o, d)
+        if valid is not None:
+            ok = ok & valid  # dead ray-tree lanes terminate immediately
 
         se = jnp.take(cell_se, _cell_linear(cell), axis=0)
         state = dict(
@@ -213,10 +215,19 @@ def make_grid_intersectors(scene: SceneData, grid: GridArrays,
             best_obj=jnp.full((R,), -1, jnp.int32),
             # Init failure counts as shadowed (grid.cpp:321-324)
             occluded=~ok if is_shadow else jnp.zeros((R,), jnp.bool_),
-            active=ok, found=jnp.zeros((R,), jnp.bool_))
+            active=ok, found=jnp.zeros((R,), jnp.bool_),
+            it=jnp.zeros((), jnp.int32))
+
+        # Hard upper bound on any lane's step count: every DDA advance moves
+        # one cell (<= nx+ny+nz cells on a path) and every object step
+        # consumes one CSR entry (<= total entries).  Degenerate rays
+        # (0 * inf = NaN in the slab test, exactly as in grid.cpp:124-152)
+        # could otherwise walk a wrapped int32 cell coordinate ~2^31 steps
+        # and trip the TPU watchdog.
+        max_iters = jnp.sum(n) + np.int32(n_obj_tab + 64)
 
         def cond(s):
-            return jnp.any(s["active"])
+            return jnp.any(s["active"]) & (s["it"] < max_iters)
 
         def body(s):
             act = s["active"]
@@ -257,8 +268,11 @@ def make_grid_intersectors(scene: SceneData, grid: GridArrays,
                 hit_now = best_t < tn_axis
             stepping0 = adv & ~hit_now
             t_next2 = jnp.where(stepping0[:, None], tn + onehot * dt, tn)
-            cell2 = jnp.where(stepping0[:, None],
-                              s["cell"] + onehot_i * step, s["cell"])
+            # clamp into [-1, n]: NaN-born cells must not wrap int32
+            cell2 = jnp.clip(
+                jnp.where(stepping0[:, None],
+                          s["cell"] + onehot_i * step, s["cell"]),
+                -1, n)
             out = jnp.sum(cell2 * onehot_i, axis=-1) == jnp.sum(
                 stop * onehot_i, axis=-1)
             stepping = stepping0 & ~out
@@ -275,7 +289,8 @@ def make_grid_intersectors(scene: SceneData, grid: GridArrays,
                 active = act & ~(adv & (hit_now | out))
             return dict(cell=cell2, t_next=t_next2, ptr=ptr, end=end,
                         best_t=best_t, best_n=best_n, best_obj=best_obj,
-                        occluded=occluded, active=active, found=found)
+                        occluded=occluded, active=active, found=found,
+                        it=s["it"] + 1)
 
         s = jax.lax.while_loop(cond, body, state)
         if is_shadow:
@@ -284,16 +299,16 @@ def make_grid_intersectors(scene: SceneData, grid: GridArrays,
         return (hit, jnp.where(hit, s["best_t"], FLT_MAX), s["best_n"],
                 jnp.where(hit, s["best_obj"], -1))
 
-    def closest(o, d, time):
+    def closest(o, d, time, valid=None):
         from distributionraytracer_tpu.ops.intersect import HitResult
-        hit, t, nrm, gid = _traverse(o, d, time)
+        hit, t, nrm, gid = _traverse(o, d, time, valid=valid)
         mat = obj_mats[jnp.maximum(gid, 0)]
         return HitResult(hit=hit, t=t, normal=nrm, obj_id=gid, mat_id=mat)
 
-    def shadow(o, d, dist, exclude_obj):
+    def shadow(o, d, dist, exclude_obj, valid=None):
         del exclude_obj  # grid traversal has no self-exclusion
         return _traverse(o, d, jnp.zeros(o.shape[:-1], jnp.float32),
-                         shadow_dist=dist)
+                         shadow_dist=dist, valid=valid)
 
     from distributionraytracer_tpu.integrator.whitted import Intersectors
     return Intersectors(closest, shadow)
@@ -441,13 +456,15 @@ def make_grid_scalar_intersectors(scene: SceneData, grid: GridArrays,
     vmapped_closest = jax.vmap(closest_one)
     vmapped_shadow = jax.vmap(shadow_one)
 
-    def closest(o, d, time):
+    def closest(o, d, time, valid=None):
+        del valid  # reference-shaped path ignores lane masking
         from distributionraytracer_tpu.ops.intersect import HitResult
         hit, t, nrm, gid = vmapped_closest(o, d, time)
         mat = obj_mats[jnp.maximum(gid, 0)]
         return HitResult(hit=hit, t=t, normal=nrm, obj_id=gid, mat_id=mat)
 
-    def shadow(o, d, dist, exclude_obj):
+    def shadow(o, d, dist, exclude_obj, valid=None):
+        del valid
         del exclude_obj  # grid traversal has no self-exclusion
         return vmapped_shadow(o, d, dist)
 

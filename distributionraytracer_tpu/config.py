@@ -57,6 +57,14 @@ class RenderConfig:
     # 16k lanes -> 0.35 Mrays/s, 262k lanes -> 0.03 Mrays/s on the dragon
     # BVH), so accelerated scenes run smaller wavefronts than brute force.
     accel_tile_rays: int = 16384
+    # Max primary pixel-samples per *device dispatch* for accelerated
+    # scenes (0 = whole frame in one dispatch).  The remote-TPU platform
+    # kills any single execution that runs longer than its watchdog
+    # (~60-100s); heavy grid scenes (assignment1: 100k tris in a 178x26x178
+    # grid) exceed that at full resolution, so the Renderer splits the frame
+    # into row chunks dispatched from the host.  Purely a robustness/
+    # latency knob — results are identical.
+    accel_dispatch_rays: int = 4096
     # Path-tracer knobs (P3D_RT.glsl:581, 739)
     max_bounces: int = 10
     russian_roulette: bool = True

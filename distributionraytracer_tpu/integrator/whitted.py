@@ -66,9 +66,13 @@ OFFSET = 1e-4  # secondary-ray offset (main.cpp:378)
 class Intersectors(NamedTuple):
     """Closest-hit / shadow functions for one accel structure.
 
-    ``closest(o, d, time) -> HitResult``
-    ``shadow(o, d, dist, exclude_obj) -> occluded (R,) bool`` where ``d`` is
-    the direction with the accel's own convention already applied.
+    ``closest(o, d, time, valid=None) -> HitResult``
+    ``shadow(o, d, dist, exclude_obj, valid=None) -> occluded (R,) bool``
+    where ``d`` is the direction with the accel's own convention already
+    applied.  ``valid`` (bool (R,), optional) marks lanes whose result is
+    consumed: traversal-based implementations terminate dead lanes
+    immediately, so masked ray-tree nodes cost nothing but their lockstep
+    slot (deep Whitted levels are mostly dead lanes).
     """
 
     closest: Callable
@@ -92,20 +96,20 @@ def brute_intersectors(scene: SceneData, cfg: RenderConfig) -> Intersectors:
     if use_pallas:
         interp = backend == "cpu"
 
-        def closest(o, d, time):
+        def closest(o, d, time, valid=None):
             return _pi.closest_hit_pallas(scene, o, d, time,
                                           cfg.motion_blur, interpret=interp)
 
-        def shadow(o, d, dist, exclude_obj):
+        def shadow(o, d, dist, exclude_obj, valid=None):
             return _pi.any_hit_pallas(scene, o, d, dist, exclude_obj,
                                       cfg.motion_blur, interpret=interp)
 
         return Intersectors(closest, shadow)
 
-    def closest(o, d, time):
+    def closest(o, d, time, valid=None):
         return closest_hit_brute(scene, o, d, time, cfg.motion_blur)
 
-    def shadow(o, d, dist, exclude_obj):
+    def shadow(o, d, dist, exclude_obj, valid=None):
         time = np.zeros(o.shape[:-1], np.float32)
         return any_hit_brute(scene, o, d, time, dist, exclude_obj,
                              cfg.motion_blur)
@@ -174,7 +178,8 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
         depth = level + 1
         n = node_o.shape[1]
         flat = lambda a: a.reshape((R * n,) + a.shape[2:])
-        hit: HitResult = inter.closest(flat(node_o), flat(node_d), flat(node_t))
+        hit: HitResult = inter.closest(flat(node_o), flat(node_d),
+                                       flat(node_t), valid=flat(node_valid))
         res = _shade_node(
             scene, cfg, inter,
             flat(node_o), flat(node_d), flat(node_t), flat(node_ior),
@@ -276,7 +281,8 @@ def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
 
         sdir, sdist = _shadow_terms(scene, cfg, accel, hit_p, N, light_pos,
                                     inter)
-        occluded = inter.shadow(hit_p + N * OFFSET, sdir, sdist, hit.obj_id)
+        occluded = inter.shadow(hit_p + N * OFFSET, sdir, sdist, hit.obj_id,
+                                valid=hit_mask)
         lit = hit_mask & ~occluded
         # NdotH floor keeps pow's backward (x^s log x) finite at x = 0
         # without changing the forward value (1e-12^shine underflows to 0)

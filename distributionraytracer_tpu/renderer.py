@@ -43,15 +43,17 @@ def _render_none(scene, cfg, samples):
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _render_grid(scene, cfg, grid: GridArrays, samples):
+def _render_grid(scene, cfg, grid: GridArrays, samples, row_offset):
     inter = make_grid_intersectors(scene, grid, cfg.motion_blur)
-    return render_from_samples(scene, cfg, samples, inter=inter)
+    return render_from_samples(scene, cfg, samples, row_offset=row_offset,
+                               inter=inter)
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _render_bvh(scene, cfg, tbvh: ThreadedBVH, samples):
+def _render_bvh(scene, cfg, tbvh: ThreadedBVH, samples, row_offset):
     inter = make_threaded_intersectors(scene, tbvh, cfg.motion_blur)
-    return render_from_samples(scene, cfg, samples, inter=inter)
+    return render_from_samples(scene, cfg, samples, row_offset=row_offset,
+                               inter=inter)
 
 
 class Renderer:
@@ -82,12 +84,39 @@ class Renderer:
             print(f"accel build: {time.perf_counter() - t0:.2f}s")
 
     # ------------------------------------------------------------- batch
-    def render_with_samples(self, samples: SampleSet):
+    def _render_chunk(self, samples: SampleSet, row_offset):
         if self.accel == ACCEL_GRID:
-            return _render_grid(self.scene, self.cfg, self.grid, samples)
-        if self.accel == ACCEL_BVH:
-            return _render_bvh(self.scene, self.cfg, self.bvh, samples)
-        return _render_none(self.scene, self.cfg, samples)
+            return _render_grid(self.scene, self.cfg, self.grid, samples,
+                                row_offset)
+        return _render_bvh(self.scene, self.cfg, self.bvh, samples,
+                           row_offset)
+
+    def render_with_samples(self, samples: SampleSet):
+        if self.accel == ACCEL_NONE:
+            return _render_none(self.scene, self.cfg, samples)
+        H, W, S = samples.time.shape
+        cfg = self.cfg
+        rows = (max(1, cfg.accel_dispatch_rays // (W * S))
+                if cfg.accel_dispatch_rays else H)
+        if rows >= H:
+            return self._render_chunk(samples, jnp.zeros((), jnp.float32))
+        # host-chunked dispatch: every device execution stays under the
+        # remote platform's watchdog; one compile reused for all chunks
+        # (row_offset is a traced scalar, the last chunk is padded)
+        pad = (-H) % rows
+        if pad:
+            f = lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            samples = SampleSet(f(samples.pixel), f(samples.light),
+                                f(samples.lens), f(samples.time))
+        outs = []
+        for off in range(0, H + pad, rows):
+            sl = lambda a: jax.lax.slice_in_dim(a, off, off + rows, axis=0)
+            chunk = SampleSet(sl(samples.pixel), sl(samples.light),
+                              sl(samples.lens), sl(samples.time))
+            outs.append(self._render_chunk(
+                chunk, jnp.float32(off)))
+        return jnp.concatenate(outs, axis=0)[:H]
 
     def render(self, key=None):
         """Full Zone-B render (main.cpp:602-737): returns (H, W, 3) f32."""

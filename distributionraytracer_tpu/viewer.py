@@ -200,7 +200,8 @@ def _png_bytes(rgb_u8):
     return buf.getvalue()
 
 
-def serve(scene, cfg, port: int = 8765):
+def make_server(scene, cfg, port: int = 8765):
+    """Build the HTTP server (separated from serve() for tests)."""
     state = ViewerState(scene, cfg)
     H = scene.static.res_y
     W = scene.static.res_x
@@ -243,9 +244,14 @@ def serve(scene, cfg, port: int = 8765):
             else:
                 self.send_error(404)
 
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def serve(scene, cfg, port: int = 8765):
+    httpd = make_server(scene, cfg, port)
     print(f"viewer on http://localhost:{port}/  "
-          f"({W}x{H}, accel={scene.static.accel})")
+          f"({scene.static.res_x}x{scene.static.res_y}, "
+          f"accel={scene.static.accel})")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

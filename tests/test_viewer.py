@@ -1,0 +1,60 @@
+"""Viewer harness smoke test: serve, fetch state/frames, orbit reset."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(scenes_dir):
+    import dataclasses
+    from distributionraytracer_tpu.config import RenderConfig
+    from distributionraytracer_tpu.scene import load_p3f
+    from distributionraytracer_tpu.viewer import make_server
+
+    scene = load_p3f(os.path.join(scenes_dir, "balls_low.p3f"))
+    scene = dataclasses.replace(scene, static=dataclasses.replace(
+        scene.static, res_x=24, res_y=24))
+    httpd = None
+    for port in range(18765, 18800):
+        try:
+            httpd = make_server(scene, RenderConfig(spp=1), port)
+            break
+        except OSError:
+            continue
+    assert httpd is not None
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1]
+    httpd.shutdown()
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}",
+                                timeout=300) as r:
+        return r.read(), dict(r.headers)
+
+
+def test_viewer_page_and_state(server):
+    body, _ = _get(server, "/")
+    assert b"distributionraytracer_tpu" in body
+    body, _ = _get(server, "/state")
+    st = json.loads(body)
+    assert {"alpha", "beta", "r", "progressive"} <= set(st)
+
+
+def test_viewer_progressive_frames_and_reset(server):
+    b1, h1 = _get(server, "/frame?alpha=10&beta=20&r=3&progressive=1")
+    assert b1[:4] == b"\x89PNG"
+    assert float(h1["X-Samples"]) == 1.0
+    _, h2 = _get(server, "/frame?alpha=10&beta=20&r=3&progressive=1")
+    assert float(h2["X-Samples"]) == 2.0  # accumulating
+    # camera motion resets the accumulator (FrameCount = 1)
+    _, h3 = _get(server, "/frame?alpha=55&beta=20&r=3&progressive=1")
+    assert float(h3["X-Samples"]) == 1.0
+    # batch (non-progressive) frame works too
+    b4, _ = _get(server, "/frame?alpha=55&beta=20&r=3&progressive=0")
+    assert b4[:4] == b"\x89PNG"
