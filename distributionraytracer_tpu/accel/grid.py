@@ -171,16 +171,47 @@ def _init_traverse_batched(grid: GridArrays, o, d):
     return ok, cell, dt, t_next, step, stop
 
 
+def _pick_unroll(cell_start) -> int:
+    """Objects tested per while-loop iteration, from cell occupancy.
+
+    K ≈ the 75th-percentile nonempty-cell population: dense mesh grids
+    (many triangles multi-inserted per cell) get wide unrolls so a cell is
+    consumed in ~1 iteration; sparse scenes stay narrow and avoid wasted
+    lane-tests.  Host-side, init-time only.
+    """
+    cs = np.asarray(jax.device_get(cell_start), np.int64)
+    counts = np.diff(cs)
+    counts = counts[counts > 0]
+    if counts.size == 0:
+        return 1
+    return int(np.clip(np.percentile(counts, 75), 1, 8))
+
+
 def make_grid_intersectors(scene: SceneData, grid: GridArrays,
-                           motion_blur: bool = False):
+                           motion_blur: bool = False,
+                           unroll: int | None = None,
+                           adv_unroll: int = 4):
     """Batched 3D-DDA — the TPU-native grid path.
 
     One ``lax.while_loop`` over the whole ray batch; per iteration each lane
-    either tests one object of its current cell or advances the DDA —
-    uniform vector work, no vmapped per-lane state machines.  Cell ranges
-    and the cell-ordered object rows are single fused gathers.
-    Reference semantics preserved (see module docstring).
+    tests up to K objects of its current cell and, once the cell is
+    exhausted, advances the DDA in the *same* iteration — uniform vector
+    work, no vmapped per-lane state machines.  Cell ranges and the
+    cell-ordered object rows are single fused gathers.  The K-way unroll
+    amortizes the DDA bookkeeping and while-loop overhead across K
+    primitive tests (dense mesh grids put tens of triangles in a cell, so
+    the 1-object-per-iteration form is iteration-bound, not FLOP-bound).
+    Reference semantics preserved (see module docstring): within an
+    iteration the K candidates resolve by strict ``<`` with first-wins
+    ties, identical to the reference's sequential scan order.
     """
+    if unroll is None:
+        # under jit the CSR table is a tracer — callers that care (Renderer)
+        # compute the occupancy-based K host-side and pass it in
+        unroll = (4 if isinstance(grid.cell_start, jax.core.Tracer)
+                  else _pick_unroll(grid.cell_start))
+    K = int(unroll)
+    M = max(1, int(adv_unroll))  # empty cells skipped per iteration
     grid = GridArrays(*(jnp.asarray(a) for a in grid))
     obj_data, obj_types, obj_mats = scene.packed_objects()
     n = grid.ncells
@@ -224,70 +255,86 @@ def make_grid_intersectors(scene: SceneData, grid: GridArrays,
         # (0 * inf = NaN in the slab test, exactly as in grid.cpp:124-152)
         # could otherwise walk a wrapped int32 cell coordinate ~2^31 steps
         # and trip the TPU watchdog.
-        max_iters = jnp.sum(n) + np.int32(n_obj_tab + 64)
+        max_iters = jnp.sum(n) + np.int32(n_obj_tab // K + 64)
 
         def cond(s):
             return jnp.any(s["active"]) & (s["it"] < max_iters)
 
         def body(s):
             act = s["active"]
-            has_obj = act & (s["ptr"] < s["end"])
 
-            # --- test one object of the current cell ---
-            orow = jnp.take(obj_row, jnp.clip(s["ptr"], 0, n_obj_tab - 1),
-                            axis=0)
-            t, nrm = hit_packed(o, d, time, orow[:, 0:12],
-                                orow[:, 12].astype(jnp.int32), motion_blur,
+            # --- test up to K objects of the current cell ---
+            ptrs = s["ptr"][:, None] + jnp.arange(K, dtype=jnp.int32)  # (R,K)
+            omask = act[:, None] & (ptrs < s["end"][:, None])
+            rows = jnp.take(obj_row, jnp.clip(ptrs, 0, n_obj_tab - 1),
+                            axis=0)  # (R,K,15)
+            t, nrm = hit_packed(o[:, None, :], d[:, None, :], time[:, None],
+                                rows[:, :, 0:12],
+                                rows[:, :, 12].astype(jnp.int32), motion_blur,
                                 types_present=types_present)
-            gid = orow[:, 14].astype(jnp.int32)
+            t = jnp.where(omask, t, FLT_MAX)  # (R,K)
+            gid = rows[:, :, 14].astype(jnp.int32)
             if is_shadow:
-                occ = has_obj & (t < shadow_dist)
+                occ = jnp.any(t < shadow_dist[:, None], axis=1)
                 best_t, best_n, best_obj = (s["best_t"], s["best_n"],
                                             s["best_obj"])
             else:
                 occ = jnp.zeros((R,), jnp.bool_)
-                better = has_obj & (t < s["best_t"])
-                best_t = jnp.where(better, t, s["best_t"])
-                best_n = jnp.where(better[:, None], nrm, s["best_n"])
-                best_obj = jnp.where(better, gid, s["best_obj"])
-            ptr = jnp.where(has_obj, s["ptr"] + 1, s["ptr"])
+                # first-min wins ties == the reference's sequential strict-<
+                kb = jnp.argmin(t, axis=1)
+                tb = jnp.take_along_axis(t, kb[:, None], axis=1)[:, 0]
+                better = tb < s["best_t"]
+                best_t = jnp.where(better, tb, s["best_t"])
+                nb = jnp.take_along_axis(
+                    nrm, kb[:, None, None], axis=1)[:, 0]
+                best_n = jnp.where(better[:, None], nb, s["best_n"])
+                gb = jnp.take_along_axis(gid, kb[:, None], axis=1)[:, 0]
+                best_obj = jnp.where(better, gb, s["best_obj"])
+            ptr = s["ptr"] + jnp.sum(omask, axis=1).astype(jnp.int32)
 
-            # --- advance the DDA when the cell is exhausted ---
-            adv = act & ~has_obj
-            tn = s["t_next"]
-            axis = jnp.where(
-                (tn[:, 0] < tn[:, 1]) & (tn[:, 0] < tn[:, 2]), 0,
-                jnp.where(tn[:, 1] < tn[:, 2], 1, 2))
-            onehot = jax.nn.one_hot(axis, 3, dtype=jnp.float32)
-            onehot_i = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-            tn_axis = jnp.sum(tn * onehot, axis=-1)
-            if is_shadow:
-                hit_now = jnp.zeros((R,), jnp.bool_)
-            else:
-                # closest-hit early exit (grid.cpp:277-304)
-                hit_now = best_t < tn_axis
-            stepping0 = adv & ~hit_now
-            t_next2 = jnp.where(stepping0[:, None], tn + onehot * dt, tn)
-            # clamp into [-1, n]: NaN-born cells must not wrap int32
-            cell2 = jnp.clip(
-                jnp.where(stepping0[:, None],
-                          s["cell"] + onehot_i * step, s["cell"]),
-                -1, n)
-            out = jnp.sum(cell2 * onehot_i, axis=-1) == jnp.sum(
-                stop * onehot_i, axis=-1)
-            stepping = stepping0 & ~out
-            se2 = jnp.take(cell_se,
-                           _cell_linear(jnp.clip(cell2, 0, n - 1)), axis=0)
-            ptr = jnp.where(stepping, se2[:, 0], ptr)
-            end = jnp.where(stepping, se2[:, 1], s["end"])
-
+            # --- advance the DDA through up to M cells once exhausted ---
+            # empty cells are the common case in mesh grids; unrolling the
+            # advance amortizes the while-loop round trip across M cell
+            # steps (each is cheap vector work + one 2-int gather)
+            cell, tn, end = s["cell"], s["t_next"], s["end"]
+            found = s["found"]
             occluded = s["occluded"] | occ
-            found = s["found"] | (adv & hit_now)
-            if is_shadow:
-                active = act & ~occ & ~(adv & out)
-            else:
-                active = act & ~(adv & (hit_now | out))
-            return dict(cell=cell2, t_next=t_next2, ptr=ptr, end=end,
+            active = act & ~occ
+            adv = active & (ptr >= end)
+            for _ in range(M):
+                axis = jnp.where(
+                    (tn[:, 0] < tn[:, 1]) & (tn[:, 0] < tn[:, 2]), 0,
+                    jnp.where(tn[:, 1] < tn[:, 2], 1, 2))
+                onehot = jax.nn.one_hot(axis, 3, dtype=jnp.float32)
+                onehot_i = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+                tn_axis = jnp.sum(tn * onehot, axis=-1)
+                if is_shadow:
+                    hit_now = jnp.zeros((R,), jnp.bool_)
+                else:
+                    # closest-hit early exit (grid.cpp:277-304)
+                    hit_now = adv & (best_t < tn_axis)
+                found = found | hit_now
+                stepping0 = adv & ~hit_now
+                tn = jnp.where(stepping0[:, None], tn + onehot * dt, tn)
+                # clamp into [-1, n]: NaN-born cells must not wrap int32
+                cell = jnp.clip(
+                    jnp.where(stepping0[:, None],
+                              cell + onehot_i * step, cell),
+                    -1, n)
+                out = stepping0 & (
+                    jnp.sum(cell * onehot_i, axis=-1)
+                    == jnp.sum(stop * onehot_i, axis=-1))
+                stepping = stepping0 & ~out
+                se2 = jnp.take(cell_se,
+                               _cell_linear(jnp.clip(cell, 0, n - 1)),
+                               axis=0)
+                ptr = jnp.where(stepping, se2[:, 0], ptr)
+                end = jnp.where(stepping, se2[:, 1], end)
+                active = active & ~hit_now & ~out
+                # keep advancing only lanes whose new cell is empty
+                adv = stepping & (ptr >= end)
+
+            return dict(cell=cell, t_next=tn, ptr=ptr, end=end,
                         best_t=best_t, best_n=best_n, best_obj=best_obj,
                         occluded=occluded, active=active, found=found,
                         it=s["it"] + 1)

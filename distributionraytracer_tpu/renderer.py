@@ -42,9 +42,10 @@ def _render_none(scene, cfg, samples):
     return render_from_samples(scene, cfg, samples)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _render_grid(scene, cfg, grid: GridArrays, samples, row_offset):
-    inter = make_grid_intersectors(scene, grid, cfg.motion_blur)
+@partial(jax.jit, static_argnums=(1, 5))
+def _render_grid(scene, cfg, grid: GridArrays, samples, row_offset, unroll):
+    inter = make_grid_intersectors(scene, grid, cfg.motion_blur,
+                                   unroll=unroll)
     return render_from_samples(scene, cfg, samples, row_offset=row_offset,
                                inter=inter)
 
@@ -67,7 +68,10 @@ class Renderer:
         self.bvh = None
         t0 = time.perf_counter()
         if st.accel == ACCEL_GRID:
-            self.grid = jax.device_put(build_grid(scene))
+            from distributionraytracer_tpu.accel.grid import _pick_unroll
+            grid = build_grid(scene)
+            self.grid_unroll = _pick_unroll(grid.cell_start)
+            self.grid = jax.device_put(grid)
             if verbose:
                 n = self.grid.ncells
                 print(f"GRID: total cells = {int(n[0]*n[1]*n[2])}, "
@@ -87,7 +91,7 @@ class Renderer:
     def _render_chunk(self, samples: SampleSet, row_offset):
         if self.accel == ACCEL_GRID:
             return _render_grid(self.scene, self.cfg, self.grid, samples,
-                                row_offset)
+                                row_offset, self.grid_unroll)
         return _render_bvh(self.scene, self.cfg, self.bvh, samples,
                            row_offset)
 
