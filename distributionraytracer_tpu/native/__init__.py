@@ -56,6 +56,10 @@ def _load() -> Optional[ctypes.CDLL]:
             i64, f32p, f32p, f64p, f64p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.drt_chebyshev_dist.restype = None
+        lib.drt_chebyshev_dist.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p, i32p,
+            ctypes.c_int32]
         lib.drt_parse_floats.restype = i64
         lib.drt_parse_floats.argtypes = [
             ctypes.c_char_p, i64, ctypes.POINTER(i64), f64p, i64]
@@ -107,6 +111,21 @@ def grid_insert_native(bmin, bmax, gmin, gmax, nx, ny, nz):
     lib.drt_grid_insert(n, bmin, bmax, gmin, gmax, nx, ny, nz,
                         cells.ctypes.data, objs.ctypes.data)
     return cells, objs
+
+
+def chebyshev_dist_native(occupied: np.ndarray, nx: int, ny: int, nz: int,
+                          cap: int = 127):
+    """Chessboard distance-to-occupied over the (flat, x-fastest) cell grid.
+
+    Returns int32[nx*ny*nz] or None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    occ = np.ascontiguousarray(occupied.reshape(-1), np.uint8)
+    dist = np.empty(occ.size, np.int32)
+    lib.drt_chebyshev_dist(nx, ny, nz, occ, dist, cap)
+    return dist
 
 
 def parse_floats_native(text: bytes, pos: int, count: int):

@@ -264,6 +264,55 @@ int64_t drt_grid_insert(int64_t n, const float* bmin, const float* bmax,
   return total;
 }
 
+// Chebyshev (chessboard) distance transform over the grid's occupancy mask,
+// for proximity-cloud empty-space skipping in the TPU DDA (grid traversal).
+// Exact for the chessboard metric via the classic two-pass chamfer scan with
+// unit weights over the 26-neighbourhood.  dist[c] = 0 for occupied cells,
+// else the chebyshev distance to the nearest occupied cell, clamped to cap.
+void drt_chebyshev_dist(int32_t nx, int32_t ny, int32_t nz,
+                        const uint8_t* occupied, int32_t* dist, int32_t cap) {
+  const int64_t sx = 1, sy = nx, sz = (int64_t)nx * ny;
+  const int64_t total = sz * nz;
+  for (int64_t i = 0; i < total; i++) dist[i] = occupied[i] ? 0 : cap;
+  // forward pass: neighbours with (dz,dy,dx) lexicographically before (0,0,0)
+  for (int64_t z = 0; z < nz; z++)
+    for (int64_t y = 0; y < ny; y++)
+      for (int64_t x = 0; x < nx; x++) {
+        int64_t c = x * sx + y * sy + z * sz;
+        int32_t d = dist[c];
+        if (d == 0) continue;
+        for (int dz = -1; dz <= 0; dz++)
+          for (int dy = -1; dy <= 1; dy++)
+            for (int dx = -1; dx <= 1; dx++) {
+              if (dz == 0 && (dy > 0 || (dy == 0 && dx >= 0))) continue;
+              int64_t X = x + dx, Y = y + dy, Z = z + dz;
+              if (X < 0 || X >= nx || Y < 0 || Y >= ny || Z < 0) continue;
+              int32_t v = dist[X * sx + Y * sy + Z * sz] + 1;
+              if (v < d) d = v;
+            }
+        dist[c] = d;
+      }
+  // backward pass: the mirrored neighbour half-set
+  for (int64_t z = nz - 1; z >= 0; z--)
+    for (int64_t y = ny - 1; y >= 0; y--)
+      for (int64_t x = nx - 1; x >= 0; x--) {
+        int64_t c = x * sx + y * sy + z * sz;
+        int32_t d = dist[c];
+        if (d == 0) continue;
+        for (int dz = 0; dz <= 1; dz++)
+          for (int dy = -1; dy <= 1; dy++)
+            for (int dx = -1; dx <= 1; dx++) {
+              if (dz == 0 && (dy < 0 || (dy == 0 && dx <= 0))) continue;
+              int64_t X = x + dx, Y = y + dy, Z = z + dz;
+              if (X < 0 || X >= nx || Y < 0 || Y >= ny || Z >= nz) continue;
+              int32_t v = dist[X * sx + Y * sy + Z * sz] + 1;
+              if (v < d) d = v;
+            }
+        if (d > cap) d = cap;
+        dist[c] = d;
+      }
+}
+
 // Bulk float tokenizer: parses up to max_out whitespace-separated floats
 // starting at text[*pos]; advances *pos past the last consumed token.
 // Returns the number parsed.
