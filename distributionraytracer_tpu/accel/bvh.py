@@ -63,9 +63,13 @@ def _area(lo, hi):
     return 2.0 * (e[0] * e[1] + e[0] * e[2] + e[1] * e[2])
 
 
-def build_bvh(scene: SceneData, use_native: bool = True) -> BVHArrays:
+def build_bvh(scene: SceneData, use_native: bool = True,
+              bboxes=None) -> BVHArrays:
+    """SAH build over the scene's object AABBs (or ``bboxes`` (O,2,3) when
+    given — the grid emulation builds over cell-quantized boxes)."""
     st = scene.static
-    bb32 = object_bboxes(scene)
+    bb32 = object_bboxes(scene) if bboxes is None else np.asarray(
+        bboxes, np.float32)
     if use_native:
         from distributionraytracer_tpu import native
         res = native.build_bvh_native(bb32[:, 0], bb32[:, 1])

@@ -1,0 +1,126 @@
+"""Pallas packet traversal for uniform-grid scenes, via cell quantization.
+
+The reference grid's observable semantics (grid.cpp:100-358) reduce to a
+set-of-tested-objects plus two gates — which lets the grid ride the same
+packet kernel as the BVH (``accel/pallas_bvh.py``) instead of needing a
+divergent per-lane DDA kernel:
+
+1. **Tested set.** The DDA tests object ``o`` iff the ray visits a cell
+   containing ``o``; objects are multi-inserted into *every* cell their
+   AABB overlaps (grid.cpp:75-92), so the cells containing ``o`` form a
+   rectangular span whose union is the object's **AABB quantized outward to
+   cell boundaries**.  "Ray visits a cell of the span" ⇔ "ray hits the
+   quantized AABB" (cells are visited exactly along the ray's in-grid
+   segment).  A BVH built over quantized AABBs therefore tests exactly the
+   DDA's object set.
+2. **Closest-hit accept.** The DDA records the strict-``<`` minimum over
+   tested objects, early-exits when ``hitRec.t < t_next`` (grid.cpp:
+   277-304), and *drops* the record if it walks out of the grid first.
+   Since cells are visited in increasing-t order and a hit always lies in
+   a cell of its object's span, the early exit never changes the winner;
+   the walk-out drop is exactly ``t_hit < t1`` where ``t1`` is the grid
+   slab exit parameter.  So: closest = (min-t over tested objects,
+   accepted iff ``t < t1``).
+3. **Shadow.** Occluded iff any tested object has ``t < dist`` (strict,
+   grid.cpp:330-352), plus the quirk that a failed ``Init_Traverse``
+   counts as shadowed (grid.cpp:321-324).
+
+Deviations from the XLA DDA (``accel/grid.py``): float-boundary cases —
+rays passing exactly on cell faces can differ between slab arithmetic and
+DDA stepping (measure-zero; ``tests/test_pallas_accel.py`` budgets them),
+and exact-tie winners follow BVH leaf order instead of per-cell insertion
+order (also measure-zero).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distributionraytracer_tpu.accel.bvh import build_bvh, thread_bvh
+from distributionraytracer_tpu.accel.grid import (
+    GridArrays, _init_traverse_batched, object_bboxes,
+)
+from distributionraytracer_tpu.accel.pallas_bvh import (
+    PallasBVH, make_pallas_bvh_intersectors, pack_threaded,
+)
+from distributionraytracer_tpu.ops.common import FLT_MAX
+from distributionraytracer_tpu.scene.types import SceneData
+
+
+class PallasGrid(NamedTuple):
+    """Kernel tables + the grid slab parameters needed for the gates."""
+
+    tabs: PallasBVH
+    bbox_min: jnp.ndarray  # (3,)
+    bbox_max: jnp.ndarray  # (3,)
+    ncells: jnp.ndarray  # (3,) i32
+
+
+def quantized_bboxes(scene: SceneData, grid: GridArrays) -> np.ndarray:
+    """Object AABBs expanded outward to the cell boundaries they overlap.
+
+    Uses the same cell mapping as the insertion pass (grid.cpp:80-85):
+    ``cell = clip(trunc((p - min) * n / (max - min)), 0, n - 1)``.
+    """
+    bb = object_bboxes(scene).astype(np.float64)  # (O,2,3)
+    gmin = np.asarray(jax.device_get(grid.bbox_min), np.float64)
+    gmax = np.asarray(jax.device_get(grid.bbox_max), np.float64)
+    n = np.asarray(jax.device_get(grid.ncells), np.float64)
+    scale = n / (gmax - gmin)
+    lo_cell = np.clip(np.trunc((bb[:, 0] - gmin) * scale), 0, n - 1)
+    hi_cell = np.clip(np.trunc((bb[:, 1] - gmin) * scale), 0, n - 1)
+    q = np.empty_like(bb)
+    q[:, 0] = gmin + lo_cell / scale
+    q[:, 1] = gmin + (hi_cell + 1.0) / scale
+    return q.astype(np.float32)
+
+
+def pack_grid(scene: SceneData, grid: GridArrays) -> Optional[PallasGrid]:
+    """Host-side: SAH BVH over quantized AABBs, threaded + packed."""
+    q = quantized_bboxes(scene, grid)
+    tb = thread_bvh(build_bvh(scene, bboxes=q))
+    tabs = pack_threaded(scene, tb)
+    if tabs is None:
+        return None
+    return PallasGrid(
+        tabs=tabs,
+        bbox_min=np.asarray(jax.device_get(grid.bbox_min), np.float32),
+        bbox_max=np.asarray(jax.device_get(grid.bbox_max), np.float32),
+        ncells=np.asarray(jax.device_get(grid.ncells), np.int32))
+
+
+def make_pallas_grid_intersectors(scene: SceneData, pg: PallasGrid,
+                                  motion_blur: bool = False,
+                                  interpret: bool = False):
+    from distributionraytracer_tpu.integrator.whitted import Intersectors
+    from distributionraytracer_tpu.ops.intersect import HitResult
+
+    inner = make_pallas_bvh_intersectors(scene, pg.tabs, motion_blur,
+                                         interpret=interpret,
+                                         shadow_mode="grid")
+    gstub = GridArrays(bbox_min=pg.bbox_min, bbox_max=pg.bbox_max,
+                       ncells=pg.ncells, cell_start=None, cell_objs=None,
+                       cell_dist=None)
+
+    def closest(o, d, time, valid=None):
+        h = inner.closest(o, d, time, valid=valid)
+        ok, _cell, _dt, _tn, _st, _sp, _tmin, t1 = _init_traverse_batched(
+            gstub, o, d)
+        # walking out of the grid drops the record (grid.cpp:289-304);
+        # a failed slab init is a miss (grid.cpp:258-260)
+        hit = h.hit & ok & (h.t < t1)
+        return HitResult(
+            hit=hit, t=jnp.where(hit, h.t, FLT_MAX), normal=h.normal,
+            obj_id=jnp.where(hit, h.obj_id, -1), mat_id=h.mat_id)
+
+    def shadow(o, d, dist, exclude_obj, valid=None):
+        occ = inner.shadow(o, d, dist, exclude_obj, valid=valid)
+        ok, *_ = _init_traverse_batched(gstub, o, d)
+        # Init_Traverse failure counts as shadowed (grid.cpp:321-324)
+        return occ | ~ok
+
+    return Intersectors(closest, shadow)

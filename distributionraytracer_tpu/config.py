@@ -47,6 +47,12 @@ class RenderConfig:
     # forces the kernel (interpret-mode on CPU); 'off' forces the jnp path.
     # The kernel is forward-only — training paths force 'off'.
     pallas: str = "auto"  # 'auto' | 'on' | 'off'
+    # Accelerated-traversal backend: 'auto' uses the Pallas packet kernels
+    # (accel/pallas_bvh.py) on TPU backends when the scene's tables are
+    # encodable, the XLA batched traversals otherwise; 'pallas' forces the
+    # kernels (interpret-mode off-TPU, for tests); 'xla' forces the pure-XLA
+    # paths (the differentiable ones — training forces 'xla').
+    accel_backend: str = "auto"  # 'auto' | 'pallas' | 'xla'
     dof: bool = False
     motion_blur: bool = False
     max_samples: int = 10000
@@ -74,6 +80,8 @@ class RenderConfig:
             raise ValueError(f"bad shadow_mode: {self.shadow_mode}")
         if self.pallas not in ("auto", "on", "off"):
             raise ValueError(f"bad pallas mode: {self.pallas}")
+        if self.accel_backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"bad accel_backend: {self.accel_backend}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -139,6 +139,27 @@ def _rays_from_samples(scene: SceneData, cfg: RenderConfig,
             ls3.reshape(n, 3))
 
 
+def _block_perm(H: int, W: int, S: int, tile: int = 1024) -> np.ndarray:
+    """Ray permutation grouping ~``tile`` rays into square pixel blocks.
+
+    The flat (H, W, S) row-major ray order puts a 1024-lane traversal
+    packet on an 8x128-pixel *strip* — a frustum spanning the whole image
+    width, whose per-packet BVH/grid node union is enormous.  Square blocks
+    (e.g. 32x32 pixels at S = 1) shrink the union by an order of magnitude.
+    Host-side constant; the inverse gather restores image order, so output
+    values are bit-identical.
+    """
+    per = max(tile // max(S, 1), 1)
+    bw = 1
+    while bw * bw < per:
+        bw *= 2
+    bh = max(per // bw, 1)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    order = np.lexsort((xx.ravel() % bw, yy.ravel() % bh,
+                        (xx // bw).ravel(), (yy // bh).ravel()))
+    return (order[:, None] * S + np.arange(S)).ravel().astype(np.int32)
+
+
 def render_from_samples(scene: SceneData, cfg: RenderConfig,
                         samples: SampleSet, row_offset=0,
                         inter: Optional[Intersectors] = None,
@@ -146,6 +167,13 @@ def render_from_samples(scene: SceneData, cfg: RenderConfig,
     """Trace a SampleSet; pure function, safe to jit / shard_map / grad."""
     H, W, S = samples.time.shape
     o, d, t, ls = _rays_from_samples(scene, cfg, samples, row_offset)
+
+    perm = None
+    if inter is not None:
+        # accelerated traversal is packet/lockstep-bound: group rays into
+        # coherent pixel blocks (values unchanged — inverse-gathered below)
+        perm = _block_perm(H, W, S)
+        o, d, t, ls = o[perm], d[perm], t[perm], ls[perm]
 
     n = o.shape[0]
     tile = min(cfg.tile_rays if inter is None else cfg.accel_tile_rays, n)
@@ -166,7 +194,12 @@ def render_from_samples(scene: SceneData, cfg: RenderConfig,
         shape2 = lambda a: a.reshape((nt, tile) + a.shape[1:])
         colors = jax.lax.map(trace, (shape2(o), shape2(d), shape2(t),
                                      shape2(ls)))
-    colors = colors.reshape(-1, 3)[:n].reshape(H, W, S, 3)
+    colors = colors.reshape(-1, 3)[:n]
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n, dtype=np.int32)
+        colors = colors[inv]
+    colors = colors.reshape(H, W, S, 3)
     return jnp.mean(colors, axis=2) if average else colors
 
 

@@ -42,17 +42,48 @@ def _render_none(scene, cfg, samples):
     return render_from_samples(scene, cfg, samples)
 
 
-@partial(jax.jit, static_argnums=(1, 5))
-def _render_grid(scene, cfg, grid: GridArrays, samples, row_offset, unroll):
-    inter = make_grid_intersectors(scene, grid, cfg.motion_blur,
-                                   unroll=unroll)
+@partial(jax.jit, static_argnums=(1, 6))
+def _render_grid(scene, cfg, grid: GridArrays, pg, samples, row_offset,
+                 unroll):
+    if pg is not None and _use_pallas_accel(cfg):
+        from distributionraytracer_tpu.accel.pallas_grid import (
+            make_pallas_grid_intersectors,
+        )
+        inter = make_pallas_grid_intersectors(
+            scene, pg, cfg.motion_blur,
+            interpret=jax.default_backend() == "cpu")
+        cfg = cfg.replace(accel_tile_rays=cfg.tile_rays)
+    else:
+        inter = make_grid_intersectors(scene, grid, cfg.motion_blur,
+                                       unroll=unroll)
     return render_from_samples(scene, cfg, samples, row_offset=row_offset,
                                inter=inter)
 
 
+def _use_pallas_accel(cfg) -> bool:
+    backend = jax.default_backend()
+    if cfg.accel_backend == "xla":
+        return False
+    if cfg.accel_backend == "pallas":
+        return True
+    return backend != "cpu"
+
+
 @partial(jax.jit, static_argnums=(1,))
-def _render_bvh(scene, cfg, tbvh: ThreadedBVH, samples, row_offset):
-    inter = make_threaded_intersectors(scene, tbvh, cfg.motion_blur)
+def _render_bvh(scene, cfg, tbvh: ThreadedBVH, tabs, samples, row_offset):
+    if tabs is not None and _use_pallas_accel(cfg):
+        from distributionraytracer_tpu.accel.pallas_bvh import (
+            make_pallas_bvh_intersectors,
+        )
+        inter = make_pallas_bvh_intersectors(
+            scene, tabs, cfg.motion_blur,
+            interpret=jax.default_backend() == "cpu")
+        # the packet kernel has no gather-vs-lanes pathology: full-size
+        # wavefronts amortize dispatch overhead (accel_tile_rays guards the
+        # *XLA* traversal, config.py)
+        cfg = cfg.replace(accel_tile_rays=cfg.tile_rays)
+    else:
+        inter = make_threaded_intersectors(scene, tbvh, cfg.motion_blur)
     return render_from_samples(scene, cfg, samples, row_offset=row_offset,
                                inter=inter)
 
@@ -65,12 +96,18 @@ class Renderer:
         st = scene.static
         self.accel = st.accel
         self.grid = None
+        self.grid_pallas = None
         self.bvh = None
+        self.bvh_tabs = None
         t0 = time.perf_counter()
         if st.accel == ACCEL_GRID:
             from distributionraytracer_tpu.accel.grid import _pick_unroll
+            from distributionraytracer_tpu.accel.pallas_grid import pack_grid
             grid = build_grid(scene)
             self.grid_unroll = _pick_unroll(grid.cell_start)
+            pg = pack_grid(scene, grid)
+            self.grid_pallas = (jax.device_put(pg) if pg is not None
+                                else None)
             self.grid = jax.device_put(grid)
             if verbose:
                 n = self.grid.ncells
@@ -80,28 +117,43 @@ class Renderer:
         elif st.accel == ACCEL_BVH:
             # build + DFS-renumber host-side (all numpy), one device_put;
             # traversal uses the threaded (stackless) tables
-            self.bvh = jax.device_put(thread_bvh(build_bvh(scene)))
+            from distributionraytracer_tpu.accel.pallas_bvh import (
+                pack_threaded,
+            )
+            tb = thread_bvh(build_bvh(scene))
+            tabs = pack_threaded(scene, tb)  # None if not encodable
+            self.bvh = jax.device_put(tb)
+            self.bvh_tabs = (jax.device_put(tabs) if tabs is not None
+                             else None)
             if verbose:
                 print(f"BVH: {self.bvh.node_box.shape[0]} nodes over "
-                      f"{st.n_objects} objects (threaded)")
+                      f"{st.n_objects} objects (threaded"
+                      f"{', pallas tables' if tabs is not None else ''})")
         if verbose and st.accel != ACCEL_NONE:
             print(f"accel build: {time.perf_counter() - t0:.2f}s")
 
     # ------------------------------------------------------------- batch
     def _render_chunk(self, samples: SampleSet, row_offset):
         if self.accel == ACCEL_GRID:
-            return _render_grid(self.scene, self.cfg, self.grid, samples,
-                                row_offset, self.grid_unroll)
-        return _render_bvh(self.scene, self.cfg, self.bvh, samples,
-                           row_offset)
+            return _render_grid(self.scene, self.cfg, self.grid,
+                                self.grid_pallas, samples, row_offset,
+                                self.grid_unroll)
+        return _render_bvh(self.scene, self.cfg, self.bvh, self.bvh_tabs,
+                           samples, row_offset)
 
     def render_with_samples(self, samples: SampleSet):
         if self.accel == ACCEL_NONE:
             return _render_none(self.scene, self.cfg, samples)
         H, W, S = samples.time.shape
         cfg = self.cfg
-        rows = (max(1, cfg.accel_dispatch_rays // (W * S))
-                if cfg.accel_dispatch_rays else H)
+        if ((self.bvh_tabs is not None or self.grid_pallas is not None)
+                and _use_pallas_accel(cfg)):
+            # packet kernel renders orders of magnitude faster than the XLA
+            # traversal; whole frames stay far under the platform watchdog
+            rows = H
+        else:
+            rows = (max(1, cfg.accel_dispatch_rays // (W * S))
+                    if cfg.accel_dispatch_rays else H)
         if rows >= H:
             return self._render_chunk(samples, jnp.zeros((), jnp.float32))
         # host-chunked dispatch: every device execution stays under the
