@@ -1,17 +1,28 @@
-"""Benchmark: rays/s on the balls_low reference workload, real TPU chip.
+"""Benchmark harness, real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default (driver) mode prints ONE JSON line:
+    {"metric", "value", "unit", "vs_baseline"}
+for the headline workload — the reference's distribution-ray-tracing config
+for balls_low.p3f (512x512, 16 spp stratified AA, 2 quad lights + 1 point
+light, depth-4 Whitted tree).  "rays" counts every traced ray: primary +
+secondary tree nodes + shadow rays, measured exactly by the integrator's
+per-level counters.
 
-Workload = the reference's distribution-ray-tracing config for
-balls_low.p3f: 512x512, 16 spp stratified AA, 2 quad lights + 1 point light
-(soft shadows), 10 spheres + 1 plane, depth-4 Whitted tree.  "rays" counts
-every traced ray: primary + secondary tree nodes + shadow rays, measured
-exactly by the integrator's per-level counters.
+``--full`` additionally sweeps ALL TEN reference P3F scenes at native
+resolution and scene-default spp through the Renderer (Pallas packet
+kernels for grid/BVH scenes on TPU), benches the GLSL-semantics path
+tracer (scene 0, 800x600, 64 spp — P3D_RT.glsl:583-676), and computes a
+speed-of-light % for the headline workload; results land in
+BENCH_SCENES.json (and are summarized in PARITY.md).  The sweep is opt-in
+so the driver's end-of-round run stays fast and robust.
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is computed
-against a self-measured CPU baseline: the scalar NumPy oracle's rays/s on
-this host, scaled by cpu count to approximate the reference's OpenMP
-renderer.  The oracle measurement is cached in bench_cpu_baseline.json.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+computed against a self-measured CPU baseline: the scalar NumPy oracle's
+rays/s on this host, scaled by cpu count to approximate the reference's
+OpenMP renderer.  The oracle's ray count is the *exact* count for its
+workload (measured by the TPU integrator's counters on the identical
+sample stream — same scene, same semantics, same tree), not an estimate.
+The oracle measurement is cached in bench_cpu_baseline.json.
 """
 
 import json
@@ -24,6 +35,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SCENES = "/root/reference/DistributionRayTracer/P3D_Scenes"
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_cpu_baseline.json")
+SCENES_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_SCENES.json")
+
+ALL_SCENES = ["balls_low", "balls_high", "balls_box", "dof", "motion",
+              "teste", "assignment1", "dragon_assignment1", "dragon",
+              "blueDiamond"]
+
+# ------------------------------------------------------- TPU v5e roofline
+# One v5e chip: 8x128-lane VPU, 4 ALUs, FMA = 2 flops, ~0.94 GHz
+#   => ~7.7e12 f32 FLOP/s peak on the vector unit (the MXU's 197e12 bf16
+#      does not apply: ray tracing is elementwise math, not matmul).
+# HBM: ~819 GB/s.
+VPU_PEAK_F32 = 8 * 128 * 4 * 2 * 0.94e9
+HBM_BYTES_S = 8.19e11
+
+
+def count_rays(res, spp):
+    """Exact traced-ray count for the headline workload at (res, spp),
+    via the integrator's per-level valid/shadow counters (identical sample
+    stream => identical count on any backend)."""
+    import jax
+    from distributionraytracer_tpu.config import RenderConfig
+    from distributionraytracer_tpu.integrator.render import (
+        _rays_from_samples, make_samples,
+    )
+    from distributionraytracer_tpu.integrator.whitted import trace_whitted
+    from distributionraytracer_tpu.scene import load_p3f
+    import dataclasses
+
+    scene = load_p3f(os.path.join(SCENES, "balls_low.p3f"))
+    st = dataclasses.replace(scene.static, res_x=res, res_y=res)
+    scene = dataclasses.replace(scene, static=st).device_put()
+    cfg = RenderConfig(spp=spp)
+
+    def f(scene, key):
+        samples = make_samples(scene, cfg, key)
+        o, d, t, ls = _rays_from_samples(scene, cfg, samples)
+        _, stats = trace_whitted(scene, cfg, o, d, t, ls)
+        return stats["rays_traced"] + stats["shadow_rays"]
+
+    return float(jax.jit(f)(scene, jax.random.PRNGKey(0)))
 
 
 def measure_tpu(res=512, spp=16, repeats=3):
@@ -42,6 +94,7 @@ def measure_tpu(res=512, spp=16, repeats=3):
     st = dataclasses.replace(scene.static, res_x=res, res_y=res)
     scene = dataclasses.replace(scene, static=st).device_put()
     cfg = RenderConfig(spp=spp, tile_rays=65536)
+    n_objects = scene.static.n_objects
 
     @partial(jax.jit, static_argnums=(1,))
     def bench_step(scene, cfg, key):
@@ -75,7 +128,20 @@ def measure_tpu(res=512, spp=16, repeats=3):
         jax.block_until_ready(img)
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    return nrays / dt, nrays, dt, img
+    return nrays / dt, nrays, dt, n_objects, img
+
+
+def speed_of_light(nrays, dt, n_objects):
+    """Optimistic algorithmic roofline for the headline (brute-force)
+    workload: every traced ray tests every object once (~50 f32 flops per
+    packed primitive test) plus ~300 flops of shading; ray state streams
+    through HBM once per tree level (13 f32 in + 3 out per node).  The
+    bound ignores while-loop/control overhead, so the % is a *lower* bound
+    on true efficiency — BASELINE.md:26's accounting."""
+    flops = nrays * (n_objects * 50.0 + 300.0)
+    bytes_moved = nrays * 16 * 4.0
+    t_sol = max(flops / VPU_PEAK_F32, bytes_moved / HBM_BYTES_S)
+    return 100.0 * t_sol / dt, flops / dt
 
 
 def measure_cpu_baseline(res=40, spp=4):
@@ -83,15 +149,17 @@ def measure_cpu_baseline(res=40, spp=4):
     renderer.  Cached because it's slow and machine-bound."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["rays_per_s"]
+            d = json.load(f)
+            if "exact_rays" in d:  # new-format cache only
+                return d["rays_per_s"]
     import dataclasses
-    import numpy as np
     import jax
     from distributionraytracer_tpu.integrator.render import make_samples
     from distributionraytracer_tpu.config import RenderConfig
     from distributionraytracer_tpu.oracle import oracle_render
     from distributionraytracer_tpu.scene import load_p3f
 
+    rays = count_rays(res, spp)  # exact, same workload & sample stream
     scene = load_p3f(os.path.join(SCENES, "balls_low.p3f"))
     st = dataclasses.replace(scene.static, res_x=res, res_y=res)
     scene = dataclasses.replace(scene, static=st)
@@ -100,21 +168,141 @@ def measure_cpu_baseline(res=40, spp=4):
     t0 = time.perf_counter()
     oracle_render(scene, samples)
     dt = time.perf_counter() - t0
-    # oracle ray count: approximate with the same per-sample tree/shadow
-    # profile as the TPU measurement (primary + shadows dominate here)
-    n_primary = res * res * spp
-    # balls_low: most rays hit; ~3 shadow rays per hit + reflection chain
-    rays = n_primary * 5.0
     per_core = rays / dt
     total = per_core * (os.cpu_count() or 1)
     with open(BASELINE_CACHE, "w") as f:
         json.dump({"rays_per_s": total, "per_core": per_core,
-                   "cores": os.cpu_count()}, f)
+                   "cores": os.cpu_count(), "exact_rays": rays,
+                   "oracle_wall_s": dt}, f)
     return total
 
 
+def measure_scene(name, repeats=2):
+    """One reference scene end-to-end through the Renderer at native
+    resolution and scene-default spp (grid/BVH scenes ride the Pallas
+    packet kernels on TPU)."""
+    import jax
+    from distributionraytracer_tpu.integrator.render import (
+        _sample_count, default_config,
+    )
+    from distributionraytracer_tpu.renderer import Renderer
+    from distributionraytracer_tpu.scene import load_p3f
+
+    scene = load_p3f(os.path.join(SCENES, f"{name}.p3f"))
+    overrides = {"motion_blur": True} if name == "motion" else {}
+    cfg = default_config(scene, **overrides)
+    st = scene.static
+    t_build0 = time.perf_counter()
+    r = Renderer(scene, cfg)
+    build_s = time.perf_counter() - t_build0
+
+    t0 = time.perf_counter()
+    img = r.render(jax.random.PRNGKey(0))
+    jax.block_until_ready(img)
+    first_s = time.perf_counter() - t0  # includes compile
+
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        img = r.render(jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(img)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    S = _sample_count(scene, cfg)
+    primary = st.res_x * st.res_y * S
+    accel = {0: "none", 1: "grid", 2: "bvh"}.get(int(st.accel), "?")
+    return {
+        "scene": name, "accel": accel, "objects": int(st.n_objects),
+        "res": [st.res_x, st.res_y], "spp": int(st.spp),
+        "samples_traced": int(primary),
+        "build_s": round(build_s, 3),
+        "first_render_s": round(first_s, 3),
+        "render_s": round(dt, 4),
+        "primary_mrays_s": round(primary / dt / 1e6, 2),
+    }
+
+
+def measure_pt(res_x=800, res_y=600, spp=64, chunk=8, repeats=1):
+    """GLSL-semantics Monte Carlo path tracer (P3D_RT.glsl SCENE 0) at the
+    harness shape: 800x600, 64 spp, 10 bounces with Russian roulette."""
+    import jax
+    from distributionraytracer_tpu.config import RenderConfig
+    from distributionraytracer_tpu.integrator.pathtracer import render_pt
+    from distributionraytracer_tpu.scene.pt_scenes import scene0
+
+    sc = jax.device_put(scene0())
+    cfg = RenderConfig()
+    nchunks = spp // chunk
+    # warmup/compile
+    img = render_pt(sc, cfg, res_x, res_y, key=jax.random.PRNGKey(99),
+                    spp=chunk)
+    jax.block_until_ready(img)
+
+    times = []
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(nchunks):
+            img = render_pt(sc, cfg, res_x, res_y,
+                            key=jax.random.PRNGKey(rep * nchunks + i),
+                            spp=chunk)
+            acc = img if acc is None else acc + img
+        acc = acc / nchunks
+        jax.block_until_ready(acc)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    n_samples = res_x * res_y * spp
+    return {
+        "scene": "pt_scene0", "res": [res_x, res_y], "spp": spp,
+        "render_s": round(dt, 3),
+        "msamples_s": round(n_samples / dt / 1e6, 2),
+    }, acc
+
+
+def run_full():
+    import jax
+    results = {"device": str(jax.devices()[0]),
+               "scenes": [], "pt": None, "headline": None}
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+
+    rays_per_s, nrays, dt, n_objects, _ = measure_tpu()
+    sol_pct, flops_s = speed_of_light(nrays, dt, n_objects)
+    results["headline"] = {
+        "rays_per_s": round(rays_per_s), "wall_s": round(dt, 4),
+        "rays": nrays, "sol_pct": round(sol_pct, 1),
+        "sustained_gflops_est": round(flops_s / 1e9, 1),
+    }
+    print(f"# headline balls_low 512x512x16spp: "
+          f"{rays_per_s/1e6:.1f} Mrays/s, {dt:.3f}s, SoL >= {sol_pct:.1f}%",
+          file=sys.stderr)
+
+    for name in ALL_SCENES:
+        try:
+            row = measure_scene(name)
+        except Exception as e:  # keep the sweep alive
+            row = {"scene": name, "error": repr(e)[:200]}
+        results["scenes"].append(row)
+        print("# " + json.dumps(row), file=sys.stderr)
+
+    try:
+        results["pt"], _ = measure_pt()
+        print("# " + json.dumps(results["pt"]), file=sys.stderr)
+    except Exception as e:
+        results["pt"] = {"error": repr(e)[:200]}
+
+    with open(SCENES_OUT, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"# wrote {SCENES_OUT}", file=sys.stderr)
+    return results
+
+
 def main():
-    rays_per_s, nrays, dt, img = measure_tpu()
+    full = "--full" in sys.argv
+    if full:
+        results = run_full()
+        rays_per_s = results["headline"]["rays_per_s"]
+    else:
+        rays_per_s, nrays, dt, n_objects, img = measure_tpu()
     try:
         cpu = measure_cpu_baseline()
         vs = rays_per_s / cpu

@@ -297,17 +297,32 @@ def make_threaded_intersectors(scene: SceneData, tb: ThreadedBVH,
         is_shadow = shadow_dist is not None
         R = o.shape[0]
 
-        start = jnp.zeros((R,), jnp.int32)
+        # carry constants derived from the ray inputs so they share their
+        # shard_map varying-axes type (an unvarying jnp.zeros init + a
+        # varying body update is a while_loop carry type error under
+        # shard_map); XLA folds the xors to a constant, zero runtime cost.
+        # Every input is folded in: under sharding, primary-ray *origins*
+        # are the replicated camera eye — only the directions vary.
+        bz = None  # all-False, varying like the union of the ray inputs
+        for _x in (o[:, 0], d[:, 0], time,
+                   *(() if shadow_dist is None else (shadow_dist,)),
+                   *(() if valid is None else (valid,))):
+            _e = _x == _x
+            _e = _e ^ _e
+            bz = _e if bz is None else bz | _e
+        iz = bz.astype(jnp.int32)
+        start = iz
         if valid is not None:
             # dead ray-tree lanes start at the sentinel: done immediately
             start = jnp.where(valid, start, N)
         state = dict(
             node=start,
-            obj_k=jnp.full((R,), -1, jnp.int32),  # >=0: cursor into a leaf
-            best_t=jnp.full((R,), FLT_MAX, jnp.float32),
-            best_n=jnp.zeros((R, 3), jnp.float32),
-            best_obj=jnp.full((R,), -1, jnp.int32),
-            occluded=jnp.zeros((R,), jnp.bool_),
+            obj_k=iz - 1,  # >=0: cursor into a leaf
+            best_t=bz.astype(jnp.float32) + FLT_MAX,
+            best_n=bz.astype(jnp.float32)[:, None]
+            + jnp.zeros((1, 3), jnp.float32),
+            best_obj=iz - 1,
+            occluded=bz,
             it=jnp.zeros((), jnp.int32),
         )
 

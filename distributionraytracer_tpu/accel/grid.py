@@ -298,15 +298,24 @@ def make_grid_intersectors(scene: SceneData, grid: GridArrays,
             ok = ok & valid  # dead ray-tree lanes terminate immediately
 
         se = jnp.take(cell_se, _cell_linear(cell), axis=0)
+        # carry constants derived from the ray inputs so they share their
+        # shard_map varying-axes type (an unvarying jnp.zeros init + a
+        # varying body update is a while_loop carry type error under
+        # shard_map); XLA folds the xors to a constant, zero runtime cost
+        bz = ok ^ ok  # all-False, varying like the union of the inputs
+        for _x in (time, *(() if shadow_dist is None else (shadow_dist,))):
+            _e = _x == _x
+            bz = bz | (_e ^ _e)
+        fz = bz.astype(jnp.float32)
         state = dict(
             cell=cell, t_next=t_next,
             ptr=jnp.where(ok, se[:, 0], 0), end=jnp.where(ok, se[:, 1], 0),
-            best_t=jnp.full((R,), FLT_MAX, jnp.float32),
-            best_n=jnp.zeros((R, 3), jnp.float32),
-            best_obj=jnp.full((R,), -1, jnp.int32),
+            best_t=fz + FLT_MAX,
+            best_n=fz[:, None] + jnp.zeros((1, 3), jnp.float32),
+            best_obj=bz.astype(jnp.int32) - 1,
             # Init failure counts as shadowed (grid.cpp:321-324)
-            occluded=~ok if is_shadow else jnp.zeros((R,), jnp.bool_),
-            active=ok, found=jnp.zeros((R,), jnp.bool_),
+            occluded=~ok if is_shadow else bz,
+            active=ok, found=bz,
             it=jnp.zeros((), jnp.int32))
 
         # Hard upper bound on any lane's step count: every DDA advance moves

@@ -55,6 +55,13 @@ class RenderConfig:
     accel_backend: str = "auto"  # 'auto' | 'pallas' | 'xla'
     dof: bool = False
     motion_blur: bool = False
+    # Discontinuity-aware shadow gradients (SURVEY §7 step 9): 0 keeps the
+    # reference's hard boolean shadow gate (main.cpp:383-451); > 0 replaces
+    # it with a sigmoid-relaxed visibility of that width (world units) so
+    # expected pixel gradients at shadow edges match finite differences
+    # (ops.intersect.soft_visibility).  Opt-in, training-time only: the
+    # forward image softens within ~tau of shadow boundaries.
+    soft_shadow: float = 0.0
     max_samples: int = 10000
     shadow_mode: str = "reference"  # 'reference' | 'correct'
     tile_rays: int = 65536

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,6 +114,47 @@ def brute_intersectors(scene: SceneData, cfg: RenderConfig) -> Intersectors:
         time = np.zeros(o.shape[:-1], np.float32)
         return any_hit_brute(scene, o, d, time, dist, exclude_obj,
                              cfg.motion_blur)
+
+    return Intersectors(closest, shadow)
+
+
+def differentiable_intersectors(scene: SceneData, cfg: RenderConfig,
+                                base: Intersectors) -> Intersectors:
+    """Make an accel-traversal Intersectors differentiable.
+
+    The grid/BVH traversals are ``lax.while_loop`` programs — not
+    reverse-mode differentiable, and their discrete decisions (visit order,
+    early exits) carry no useful gradient anyway.  The TPU-native design
+    (SURVEY §7 step 9): run the traversal entirely under ``stop_gradient``
+    to select the *winning primitive id*, then recompute that primitive's
+    hit (t, normal) differentiably from its parameters — the same formula
+    the traversal evaluated, so the forward value is bit-identical, while
+    gradients flow into geometry/camera exactly as for the brute-force path.
+    Shadow occlusion stays a hard boolean (see RenderConfig.soft_shadow for
+    the relaxed-visibility gradient estimator).
+
+    ``base`` must already be built from stop_gradient'ed scene/accel tables
+    (see ``parallel.mesh.accel_intersectors(differentiable=True)``).
+    """
+    from distributionraytracer_tpu.ops.intersect import hit_packed
+
+    sg = jax.lax.stop_gradient
+    obj_data, obj_types, _ = scene.packed_objects()
+    types_present = tuple(sorted(set(scene.static.obj_types)))
+
+    def closest(o, d, time, valid=None):
+        h = base.closest(sg(o), sg(d), sg(time), valid=valid)
+        gid = jnp.maximum(h.obj_id, 0)
+        t, nrm = hit_packed(o, d, time, obj_data[gid], obj_types[gid],
+                            cfg.motion_blur, types_present=types_present)
+        from distributionraytracer_tpu.ops.common import FLT_MAX
+        return HitResult(
+            hit=h.hit, t=jnp.where(h.hit, t, FLT_MAX),
+            normal=jnp.where(h.hit[..., None], nrm, 0.0),
+            obj_id=h.obj_id, mat_id=h.mat_id)
+
+    def shadow(o, d, dist, exclude_obj, valid=None):
+        return base.shadow(sg(o), sg(d), sg(dist), exclude_obj, valid=valid)
 
     return Intersectors(closest, shadow)
 
@@ -279,17 +321,32 @@ def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
         NdotL = jnp.maximum(dot(N, Lb), 0.0)
         NdotH = jnp.maximum(dot(N, H), 0.0)
 
-        sdir, sdist = _shadow_terms(scene, cfg, accel, hit_p, N, light_pos,
-                                    inter)
-        occluded = inter.shadow(hit_p + N * OFFSET, sdir, sdist, hit.obj_id,
-                                valid=hit_mask)
-        lit = hit_mask & ~occluded
         # NdotH floor keeps pow's backward (x^s log x) finite at x = 0
         # without changing the forward value (1e-12^shine underflows to 0)
         spec = jnp.power(jnp.maximum(NdotH, 1e-12), shine)
         contrib = (cd * (kd * NdotL)[..., None]
                    + cs * (ks * spec)[..., None])
-        direct = direct + jnp.where(lit[..., None], contrib, 0.0)
+        if cfg.soft_shadow > 0.0:
+            # relaxed visibility: smooth in occluder geometry so shadow-edge
+            # gradients exist (see RenderConfig.soft_shadow); brute scan —
+            # a training path, not the accel-traversal fidelity path
+            from distributionraytracer_tpu.ops.intersect import (
+                soft_visibility,
+            )
+            dist_true = jnp.linalg.norm(L_un, axis=-1)
+            vis = soft_visibility(
+                scene, hit_p + N * OFFSET, Lb,
+                np.zeros((Rn,), np.float32),  # shadow rays carry time = 0
+                dist_true, hit.obj_id, cfg.soft_shadow, False)
+            vis = vis * hit_mask.astype(jnp.float32)
+            direct = direct + contrib * vis[..., None]
+        else:
+            sdir, sdist = _shadow_terms(scene, cfg, accel, hit_p, N,
+                                        light_pos, inter)
+            occluded = inter.shadow(hit_p + N * OFFSET, sdir, sdist,
+                                    hit.obj_id, valid=hit_mask)
+            lit = hit_mask & ~occluded
+            direct = direct + jnp.where(lit[..., None], contrib, 0.0)
 
     # ---------------- miss color (main.cpp:328-357) ----------------
     if st.has_skybox:

@@ -273,6 +273,71 @@ def any_hit_brute(scene: SceneData, o, d, time, max_dist, exclude_obj,
     return occluded
 
 
+def soft_visibility(scene: SceneData, o, d, time, max_dist, exclude_obj,
+                    tau: float, motion_blur: bool):
+    """Smooth shadow visibility in [0,1] — the discontinuity-aware gradient
+    estimator (SURVEY §7 step 9).
+
+    Hard occlusion ``prod_i 1[ray misses i]`` is a step function of the
+    occluders' parameters: its *expected* derivative at a shadow edge is a
+    boundary term that pointwise autodiff through ``where``-selects never
+    produces (the reference's shadow gating, main.cpp:383-451, has the same
+    discontinuity — it just never differentiates).  Relaxation: per sphere
+    occluder the ray's closest-approach distance ``b`` to the center is
+    smooth in everything, so occlusion becomes ``sigmoid((r - b)/tau)`` —
+    exact in the tau -> 0 limit, and the sigmoid's width transfers the
+    shadow boundary's Dirac into a finite ramp the autodiff sees.  Other
+    primitive types keep hard occlusion (planes have no silhouette;
+    triangle/box edge relaxation would need a margin metric — future
+    warped-area work).
+
+    Uses *correct* shadow semantics (normalized direction, true light
+    distance) regardless of ``shadow_mode`` — this is a training estimator,
+    not a reference-fidelity path.
+    """
+    import jax
+
+    st = scene.static
+    obj_types = np.array(st.obj_types, np.int64)
+    R = o.shape[0]
+    vis = jnp.ones(R, jnp.float32)
+
+    center, radius = scene.sph_center, scene.sph_radius
+    if center.shape[0]:
+        if motion_blur:
+            vel = np.array([0.0, 1.0, 0.0], np.float32)
+            c = center[None, :, :] + vel * time[:, None, None]
+            oc = c - o[:, None, :]
+        else:
+            oc = center[None, :, :] - o[:, None, :]  # (R,N,3)
+        proj = jnp.einsum("rnk,rk->rn", oc, d)
+        b2 = dot(oc, oc) - proj * proj
+        b = jnp.sqrt(jnp.maximum(b2, 1e-12))
+        gate = (proj > 1e-4) & (proj < max_dist[:, None])
+        gid = np.nonzero(obj_types == OBJ_SPHERE)[0].astype(np.int32)
+        gate &= gid[None, :] != exclude_obj[:, None]
+        occ = jax.nn.sigmoid((radius[None, :] - b) / tau)
+        vis = vis * jnp.prod(1.0 - jnp.where(gate, occ, 0.0), axis=1)
+
+    def fold_hard(tmat, type_const):
+        if tmat.shape[1] == 0:
+            return None
+        gid = np.nonzero(obj_types == type_const)[0].astype(np.int32)
+        ok = (tmat < max_dist[:, None]) & (tmat > 1e-4)
+        ok &= gid[None, :] != exclude_obj[:, None]
+        return jnp.any(ok, axis=1)
+
+    for tmat, tc in (
+            (triangle_t(o, d, scene.tri_v0, scene.tri_e1, scene.tri_e2),
+             OBJ_TRIANGLE),
+            (plane_t(o, d, scene.pln_n, scene.pln_d), OBJ_PLANE),
+            (box_t(o, d, scene.box_min, scene.box_max), OBJ_BOX)):
+        h = fold_hard(tmat, tc)
+        if h is not None:
+            vis = vis * (1.0 - h.astype(jnp.float32))
+    return vis
+
+
 # ------------------------------------------------------- packed-row kernels
 def hit_packed(o, d, time, row, typ, motion_blur: bool,
                types_present=(OBJ_SPHERE, OBJ_TRIANGLE, OBJ_PLANE, OBJ_BOX)):

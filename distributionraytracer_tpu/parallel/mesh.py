@@ -31,6 +31,72 @@ from distributionraytracer_tpu.integrator.render import (
 from distributionraytracer_tpu.scene.types import SceneData
 
 
+def accel_intersectors(scene: SceneData, cfg: RenderConfig, accel,
+                       grid_unroll=None, differentiable=False):
+    """Intersectors for any accel-table pytree (or None for brute force).
+
+    Dispatches on the pytree's container type, so it works on concrete
+    tables and on traced tables inside ``jit``/``shard_map`` alike — the
+    reference parallelizes its pixel loop *with* the accel structure
+    (main.cpp:603 dispatching to grid.cpp:247 / bvh.cpp:231); the sharded
+    TPU paths must too, not silently brute-force.
+
+    ``grid_unroll`` (static int) is required for GridArrays under tracing;
+    concrete tables derive it from cell occupancy when omitted.
+
+    ``differentiable=True`` runs the (non-reverse-differentiable)
+    ``while_loop`` traversal under stop_gradient to pick winners and
+    recomputes the winning hits differentiably — see
+    ``integrator.whitted.differentiable_intersectors``.
+    """
+    if accel is None:
+        return None
+    if differentiable:
+        from distributionraytracer_tpu.integrator.whitted import (
+            differentiable_intersectors,
+        )
+        sg = lambda tree: jax.tree_util.tree_map(
+            lambda x: jax.lax.stop_gradient(x) if hasattr(x, "dtype") else x,
+            tree)
+        base = accel_intersectors(sg(scene), cfg, sg(accel), grid_unroll)
+        return differentiable_intersectors(scene, cfg, base)
+    from distributionraytracer_tpu.accel.bvh import (
+        ThreadedBVH, make_threaded_intersectors,
+    )
+    from distributionraytracer_tpu.accel.grid import (
+        GridArrays, _pick_unroll, make_grid_intersectors,
+    )
+    if isinstance(accel, GridArrays):
+        if grid_unroll is None:
+            grid_unroll = _pick_unroll(accel.cell_start)
+        return make_grid_intersectors(scene, accel, cfg.motion_blur,
+                                      unroll=grid_unroll)
+    if isinstance(accel, ThreadedBVH):
+        return make_threaded_intersectors(scene, accel, cfg.motion_blur)
+    from distributionraytracer_tpu.accel.pallas_bvh import (
+        PallasBVH, make_pallas_bvh_intersectors,
+    )
+    from distributionraytracer_tpu.accel.pallas_grid import (
+        PallasGrid, make_pallas_grid_intersectors,
+    )
+    interp = jax.default_backend() == "cpu"
+    if isinstance(accel, PallasGrid):
+        return make_pallas_grid_intersectors(scene, accel, cfg.motion_blur,
+                                             interpret=interp)
+    if isinstance(accel, PallasBVH):
+        return make_pallas_bvh_intersectors(scene, accel, cfg.motion_blur,
+                                            interpret=interp)
+    raise TypeError(f"unknown accel tables: {type(accel)}")
+
+
+def _static_grid_unroll(accel, grid_unroll):
+    """Resolve the static unroll factor host-side, before tracing."""
+    from distributionraytracer_tpu.accel.grid import GridArrays, _pick_unroll
+    if grid_unroll is None and isinstance(accel, GridArrays):
+        return _pick_unroll(accel.cell_start)
+    return grid_unroll
+
+
 def ensure_devices(n_devices: int) -> None:
     """Best-effort switch to n virtual CPU devices when the current backend
     has fewer chips (single-chip dev boxes, CI).  Must run before arrays are
@@ -70,11 +136,15 @@ def _pad_rows(samples: SampleSet, ndev: int):
 
 
 def render_image_sharded(scene: SceneData, cfg: RenderConfig, mesh: Mesh,
-                         key=None, samples: Optional[SampleSet] = None):
+                         key=None, samples: Optional[SampleSet] = None,
+                         accel=None, grid_unroll=None):
     """Full-image render with rows sharded over the mesh.
 
-    Scene replicated; per-device slab offset from ``axis_index``.
-    Returns (H, W, 3) with the same semantics as render_image.
+    Scene *and accel tables* replicated; per-device slab offset from
+    ``axis_index``.  ``accel`` is any table pytree accepted by
+    ``accel_intersectors`` (GridArrays / ThreadedBVH / PallasGrid /
+    PallasBVH) or None for brute force.  Returns (H, W, 3) with the same
+    semantics as render_image.
     """
     if samples is None:
         if key is None:
@@ -83,50 +153,68 @@ def render_image_sharded(scene: SceneData, cfg: RenderConfig, mesh: Mesh,
     ndev = mesh.devices.size
     samples, H = _pad_rows(samples, ndev)
     rows_per = samples.time.shape[0] // ndev
+    grid_unroll = _static_grid_unroll(accel, grid_unroll)
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P("devices")),
-             out_specs=P("devices"))
-    def _shard(scene_rep, samp):
+             in_specs=(P(), P("devices"), P()),
+             out_specs=P("devices"), check_vma=False)
+    def _shard(scene_rep, samp, accel_rep):
         off = jax.lax.axis_index("devices") * rows_per
-        return render_from_samples(scene_rep, cfg, samp, row_offset=off)
+        inter = accel_intersectors(scene_rep, cfg, accel_rep, grid_unroll)
+        return render_from_samples(scene_rep, cfg, samp, row_offset=off,
+                                   inter=inter)
 
-    img = _shard(scene, samples)
+    img = _shard(scene, samples, accel)
     return img[:H]
 
 
 def l2_render_loss(scene: SceneData, cfg: RenderConfig, samples: SampleSet,
-                   target, row_offset=0):
-    img = render_from_samples(scene, cfg, samples, row_offset=row_offset)
+                   target, row_offset=0, inter=None):
+    img = render_from_samples(scene, cfg, samples, row_offset=row_offset,
+                              inter=inter)
     return jnp.mean((img - target) ** 2)
 
 
 def make_sharded_train_step(cfg: RenderConfig, mesh: Mesh, rows_per: int,
-                            lr: float = 1e-2, update_leaves=None):
+                            lr: float = 1e-2, update_leaves=None,
+                            accel=None, grid_unroll=None):
     """Inverse-rendering step: grads of the image L2 loss w.r.t. every float
     scene leaf (materials, lights, camera, geometry, background), psum-ed
     over ICI, applied with SGD.  ``update_leaves`` optionally names the
     SceneData fields to update (e.g. ("mat_cd", "mat_ks")); None updates all
-    float leaves.  Int/bool leaves always pass through untouched."""
+    float leaves.  Int/bool leaves always pass through untouched.
+
+    ``accel``: XLA accel tables (GridArrays / ThreadedBVH) used as a
+    *constant example* — the returned ``step`` takes them as its fourth
+    argument so the tables stay pytree inputs, never baked constants.
+    Intersectors are rebuilt from the differentiated scene inside the loss,
+    so gradients flow through traversal's intersection tests (traversal
+    *ordering* is inherently discrete and carries no gradient).
+    """
 
     from distributionraytracer_tpu.scene.types import SceneData as _SD
     leaf_names = _SD._LEAF_NAMES
     allowed = set(leaf_names if update_leaves is None else update_leaves)
-    # the Pallas intersection kernel is forward-only; gradients need jnp
-    cfg = cfg.replace(pallas="off")
+    # gradients need the differentiable paths: jnp brute force + XLA
+    # traversal (the Pallas packet kernels are forward-only)
+    cfg = cfg.replace(pallas="off", accel_backend="xla")
+    grid_unroll = _static_grid_unroll(accel, grid_unroll)
 
     def _is_float(x):
         return jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P("devices"), P("devices")),
-             out_specs=(P(), P()))
-    def _step(scene, samp, target):
+             in_specs=(P(), P("devices"), P("devices"), P()),
+             out_specs=(P(), P()), check_vma=False)
+    def _step(scene, samp, target, accel_rep):
         off = jax.lax.axis_index("devices") * rows_per
 
         def loss_fn(s):
-            return l2_render_loss(s, cfg, samp, target, row_offset=off)
+            inter = accel_intersectors(s, cfg, accel_rep, grid_unroll,
+                                       differentiable=True)
+            return l2_render_loss(s, cfg, samp, target, row_offset=off,
+                                  inter=inter)
 
         loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(scene)
         # all-reduce over ICI (mean over shards)
@@ -138,8 +226,8 @@ def make_sharded_train_step(cfg: RenderConfig, mesh: Mesh, rows_per: int,
         return loss, grads
 
     @jax.jit
-    def step(scene: SceneData, samples: SampleSet, target):
-        loss, grads = _step(scene, samples, target)
+    def step(scene: SceneData, samples: SampleSet, target, accel=accel):
+        loss, grads = _step(scene, samples, target, accel)
         leaves, aux = scene.tree_flatten()
         gleaves, _ = grads.tree_flatten()
         new_leaves = [

@@ -88,49 +88,73 @@ def _render_bvh(scene, cfg, tbvh: ThreadedBVH, tabs, samples, row_offset):
                                inter=inter)
 
 
+class AccelBuild:
+    """Host-built accel tables for one scene (plain attribute holder, not a
+    pytree).  ``xla`` / ``pallas`` are the pytrees to thread through jit /
+    shard_map boundaries; ``grid_unroll`` is the static unroll factor."""
+
+    __slots__ = ("kind", "xla", "pallas", "grid_unroll")
+
+    def __init__(self, kind, xla=None, pallas=None, grid_unroll=None):
+        self.kind = kind
+        self.xla = xla
+        self.pallas = pallas
+        self.grid_unroll = grid_unroll
+
+
+def build_accel(scene: SceneData, verbose: bool = False) -> AccelBuild:
+    """Build the scene's accel structure host-side (grid.cpp:30-97 /
+    bvh.cpp:27-227 equivalents) and device_put the tables once.
+
+    Returns an AccelBuild whose ``xla`` pytree (GridArrays / ThreadedBVH) is
+    the differentiable traversal and whose ``pallas`` pytree (PallasGrid /
+    PallasBVH, may be None if not encodable) feeds the packet kernels.
+    """
+    st = scene.static
+    out = AccelBuild(st.accel)
+    t0 = time.perf_counter()
+    if st.accel == ACCEL_GRID:
+        from distributionraytracer_tpu.accel.grid import _pick_unroll
+        from distributionraytracer_tpu.accel.pallas_grid import pack_grid
+        grid = build_grid(scene)
+        out.grid_unroll = _pick_unroll(grid.cell_start)
+        pg = pack_grid(scene, grid)
+        out.pallas = jax.device_put(pg) if pg is not None else None
+        out.xla = jax.device_put(grid)
+        if verbose:
+            n = out.xla.ncells
+            print(f"GRID: total cells = {int(n[0]*n[1]*n[2])}, "
+                  f"total objects = {st.n_objects}, ResX = {int(n[0])}, "
+                  f"ResY = {int(n[1])}, ResZ = {int(n[2])}")
+    elif st.accel == ACCEL_BVH:
+        # build + DFS-renumber host-side (all numpy), one device_put;
+        # traversal uses the threaded (stackless) tables
+        from distributionraytracer_tpu.accel.pallas_bvh import pack_threaded
+        tb = thread_bvh(build_bvh(scene))
+        tabs = pack_threaded(scene, tb)  # None if not encodable
+        out.xla = jax.device_put(tb)
+        out.pallas = jax.device_put(tabs) if tabs is not None else None
+        if verbose:
+            print(f"BVH: {out.xla.node_box.shape[0]} nodes over "
+                  f"{st.n_objects} objects (threaded"
+                  f"{', pallas tables' if tabs is not None else ''})")
+    if verbose and st.accel != ACCEL_NONE:
+        print(f"accel build: {time.perf_counter() - t0:.2f}s")
+    return out
+
+
 class Renderer:
     def __init__(self, scene: SceneData, cfg: Optional[RenderConfig] = None,
                  verbose: bool = False):
         self.cfg = cfg if cfg is not None else default_config(scene)
         self.scene = scene.device_put()
-        st = scene.static
-        self.accel = st.accel
-        self.grid = None
-        self.grid_pallas = None
-        self.bvh = None
-        self.bvh_tabs = None
-        t0 = time.perf_counter()
-        if st.accel == ACCEL_GRID:
-            from distributionraytracer_tpu.accel.grid import _pick_unroll
-            from distributionraytracer_tpu.accel.pallas_grid import pack_grid
-            grid = build_grid(scene)
-            self.grid_unroll = _pick_unroll(grid.cell_start)
-            pg = pack_grid(scene, grid)
-            self.grid_pallas = (jax.device_put(pg) if pg is not None
-                                else None)
-            self.grid = jax.device_put(grid)
-            if verbose:
-                n = self.grid.ncells
-                print(f"GRID: total cells = {int(n[0]*n[1]*n[2])}, "
-                      f"total objects = {st.n_objects}, ResX = {int(n[0])}, "
-                      f"ResY = {int(n[1])}, ResZ = {int(n[2])}")
-        elif st.accel == ACCEL_BVH:
-            # build + DFS-renumber host-side (all numpy), one device_put;
-            # traversal uses the threaded (stackless) tables
-            from distributionraytracer_tpu.accel.pallas_bvh import (
-                pack_threaded,
-            )
-            tb = thread_bvh(build_bvh(scene))
-            tabs = pack_threaded(scene, tb)  # None if not encodable
-            self.bvh = jax.device_put(tb)
-            self.bvh_tabs = (jax.device_put(tabs) if tabs is not None
-                             else None)
-            if verbose:
-                print(f"BVH: {self.bvh.node_box.shape[0]} nodes over "
-                      f"{st.n_objects} objects (threaded"
-                      f"{', pallas tables' if tabs is not None else ''})")
-        if verbose and st.accel != ACCEL_NONE:
-            print(f"accel build: {time.perf_counter() - t0:.2f}s")
+        ab = build_accel(scene, verbose=verbose)
+        self.accel = ab.kind
+        self.grid = ab.xla if ab.kind == ACCEL_GRID else None
+        self.grid_pallas = ab.pallas if ab.kind == ACCEL_GRID else None
+        self.grid_unroll = ab.grid_unroll
+        self.bvh = ab.xla if ab.kind == ACCEL_BVH else None
+        self.bvh_tabs = ab.pallas if ab.kind == ACCEL_BVH else None
 
     # ------------------------------------------------------------- batch
     def _render_chunk(self, samples: SampleSet, row_offset):

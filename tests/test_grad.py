@@ -52,6 +52,72 @@ def test_grad_matches_finite_difference(leaf):
                 leaf, i, fd, ad)
 
 
+def test_soft_shadow_grad_matches_fd_at_edge():
+    """Discontinuity-aware gradients (SURVEY §7 step 9): with the
+    sigmoid-relaxed visibility enabled, autodiff matches central finite
+    differences *at* a constructed shadow edge, instead of the hard-shadow
+    path's zero gradient there.
+
+    Construction: overhead camera sees only a floor region crossed by a
+    sphere's shadow boundary (the sphere itself is outside the cropped
+    loss window, so no primary-silhouette discontinuity pollutes the FD).
+    """
+    from distributionraytracer_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    # camera straight down; window x in [-0.03, 1.23] at the floor, shadow
+    # edge at x = 0.6 (sphere r=0.4 at y=1, light at (0,5,0), floor y=-1)
+    b.set_camera([0.6, 8.0, 1e-3], [0.6, -1.0, 0.0], [0, 0, 1],
+                 8.0, 0.01, 32, 32, 0, 1)
+    floor = b.add_material([0.7, 0.7, 0.7], 0.9, [0, 0, 0], 0.0, 10, 0, 1)
+    b.add_plane_hessian([0, 1, 0], 1.0, floor)
+    occ = b.add_material([0.8, 0.2, 0.2], 0.9, [0, 0, 0], 0.0, 10, 0, 1)
+    b.add_sphere([0.0, 1.0, 0.0], 0.4, occ)
+    b.add_point_light([0.0, 5.0, 0.0], [1, 1, 1])
+    scene = b.build().device_put()
+
+    cfg = RenderConfig(spp=1, soft_shadow=0.05)
+    samples = make_samples(scene, cfg, jax.random.PRNGKey(0))
+
+    def loss(c):
+        s = dataclasses.replace(scene, sph_center=c)
+        img = render_from_samples(s, cfg, samples)
+        # camera u = up x n = -x, so columns run toward negative world x:
+        # cols 0..18 cover floor x in [1.23, 0.48] — shadow edge at 0.6
+        # included, sphere silhouette (x < 0.35, cols >= 22) excluded
+        return jnp.mean(img[:, :19])
+
+    g = np.asarray(jax.jit(jax.grad(loss))(scene.sph_center))
+    assert np.isfinite(g).all()
+    # the shadow edge must produce a real gradient (hard shadows give ~0)
+    assert np.abs(g).max() > 1e-3, g
+
+    f = jax.jit(loss)
+    flat = np.asarray(scene.sph_center, np.float64).ravel()
+    order = np.argsort(-np.abs(g.ravel()))[:2]
+    eps = 1e-3
+    for i in order:
+        e = np.zeros_like(flat)
+        e[i] = eps
+        fp = float(f(jnp.asarray((flat + e).reshape(g.shape), jnp.float32)))
+        fm = float(f(jnp.asarray((flat - e).reshape(g.shape), jnp.float32)))
+        fd = (fp - fm) / (2 * eps)
+        ad = g.ravel()[i]
+        # smooth renderer: FD and AD must agree AT the edge, no excuses
+        assert abs(fd - ad) <= 0.05 * max(abs(fd), abs(ad)) + 1e-4, (
+            i, fd, ad)
+
+
+def test_soft_shadow_off_is_reference_hard_shadow():
+    """soft_shadow=0 must leave the reference path bit-identical."""
+    scene = small_scene().device_put()
+    cfg = RenderConfig(spp=1)
+    samples = make_samples(scene, cfg, jax.random.PRNGKey(1))
+    a = render_from_samples(scene, cfg, samples)
+    b = render_from_samples(scene, cfg.replace(soft_shadow=0.0), samples)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_grad_through_quad_light_and_skybox(scenes_dir):
     import os
     from distributionraytracer_tpu.scene import load_p3f
