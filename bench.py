@@ -259,6 +259,53 @@ def measure_pt(res_x=800, res_y=600, spp=64, chunk=8, repeats=1):
     }, acc
 
 
+def measure_scaling(devs=(1, 2, 4, 8), res=256, spp=8, repeats=3):
+    """Rays/s vs device count on an 8-virtual-CPU-device mesh.
+
+    Single-chip hardware: this measures the *structural* cost of the
+    sharded path (shard_map partitioning, replication, axis_index slab
+    math) — a lower bound on multi-chip efficiency since real chips add
+    only ICI latency for the (empty-forward) collective set.  Honest
+    framing for BASELINE.md:27's >90% target; wall-clock on virtual
+    devices shares one CPU, so the metric is per-device *overhead ratio*
+    (time_N x N / time_1), not throughput.
+    """
+    from distributionraytracer_tpu.parallel.mesh import (
+        ensure_devices, make_device_mesh, render_image_sharded,
+    )
+    ensure_devices(max(devs))
+    import dataclasses
+    import jax
+    from distributionraytracer_tpu.config import RenderConfig
+    from distributionraytracer_tpu.scene import load_p3f
+
+    scene = load_p3f(os.path.join(SCENES, "balls_low.p3f"))
+    st = dataclasses.replace(scene.static, res_x=res, res_y=res)
+    scene = dataclasses.replace(scene, static=st).device_put()
+    cfg = RenderConfig(spp=spp)
+    rows = []
+    t1 = None
+    for n in devs:
+        mesh = make_device_mesh(n)
+        img = render_image_sharded(scene, cfg, mesh,
+                                   key=jax.random.PRNGKey(0))
+        jax.block_until_ready(img)  # compile
+        times = []
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            img = render_image_sharded(scene, cfg, mesh,
+                                       key=jax.random.PRNGKey(i + 1))
+            jax.block_until_ready(img)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        if t1 is None:
+            t1 = dt
+        rows.append({"devices": n, "wall_s": round(dt, 4),
+                     "overhead_ratio": round(dt / t1, 4)})
+        print("# " + json.dumps(rows[-1]), file=sys.stderr)
+    return rows
+
+
 def run_full():
     import jax
     results = {"device": str(jax.devices()[0]),
@@ -297,6 +344,16 @@ def run_full():
 
 
 def main():
+    if "--scaling" in sys.argv:
+        rows = measure_scaling()
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALING.json")
+        with open(out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(json.dumps({"metric": "sharded_overhead_ratio_8dev",
+                          "value": rows[-1]["overhead_ratio"],
+                          "unit": "x", "vs_baseline": 1.0}))
+        return
     full = "--full" in sys.argv
     if full:
         results = run_full()

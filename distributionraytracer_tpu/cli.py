@@ -24,7 +24,15 @@ def _cmd_render(args):
     from distributionraytracer_tpu.scene import load_p3f
     from distributionraytracer_tpu.utils.image import write_png
 
-    scene = load_p3f(args.scene)
+    if args.scene == "random":
+        # the reference's P3F_scene=false path (main.cpp:996-1001):
+        # built-in "Ray Tracing in One Weekend" scene (scene.cpp:742-815)
+        from distributionraytracer_tpu.scene.procedural import (
+            create_random_scene,
+        )
+        scene = create_random_scene(seed=args.seed)
+    else:
+        scene = load_p3f(args.scene)
     if args.res:
         import dataclasses
         scene = dataclasses.replace(
@@ -39,9 +47,29 @@ def _cmd_render(args):
         cfg = cfg.replace(spp=args.spp)
     if args.motion_blur:
         cfg = cfg.replace(motion_blur=True)
+    key = jax.random.PRNGKey(args.seed)
+    if args.sharded:
+        # pixel-row DP over every visible device (all hosts' chips when
+        # launched under maybe_init_distributed) with the accel tables
+        # replicated — the multi-chip analog of main.cpp:603's OpenMP loop
+        from distributionraytracer_tpu.parallel.mesh import (
+            make_device_mesh, render_image_sharded,
+        )
+        from distributionraytracer_tpu.renderer import build_accel
+        scene = scene.device_put()
+        ab = build_accel(scene, verbose=True)
+        mesh = make_device_mesh()
+        print(f"mesh: {mesh.devices.size} devices")
+        t0 = time.perf_counter()
+        img = render_image_sharded(scene, cfg, mesh, key=key, accel=ab.xla,
+                                   grid_unroll=ab.grid_unroll)
+        jax.block_until_ready(img)
+        print(f"sharded render: {time.perf_counter() - t0:.3f}s")
+        write_png(args.output, np.asarray(img))
+        print(f"Image file created: {args.output}")
+        return
     r = Renderer(scene, cfg, verbose=True)
 
-    key = jax.random.PRNGKey(args.seed)
     if args.progressive:
         state = r.progressive_init()
         t0 = time.perf_counter()
@@ -127,8 +155,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="distributionraytracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    r = sub.add_parser("render", help="Whitted/distribution render of a P3F scene")
-    r.add_argument("scene")
+    r = sub.add_parser("render", help="Whitted/distribution render of a P3F "
+                       "scene, or of the built-in Shirley scene "
+                       "(scene name 'random')")
+    r.add_argument("scene", help="path to a .p3f file, or 'random' for the "
+                   "built-in Ray-Tracing-in-One-Weekend scene")
     r.add_argument("-o", "--output", default="RT_Output.png")
     r.add_argument("--spp", type=int, default=None)
     r.add_argument("--res", type=int, nargs=2, default=None,
@@ -136,6 +167,9 @@ def main(argv=None):
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--motion-blur", action="store_true")
     r.add_argument("--progressive", type=int, default=0, metavar="FRAMES")
+    r.add_argument("--sharded", action="store_true",
+                   help="shard pixel rows over all devices (multi-host "
+                        "when DRT_COORDINATOR/DRT_DISTRIBUTED is set)")
     r.set_defaults(fn=_cmd_render)
 
     v = sub.add_parser("view", help="interactive progressive viewer "
@@ -160,6 +194,9 @@ def main(argv=None):
     t.set_defaults(fn=_cmd_pathtrace)
 
     args = p.parse_args(argv)
+    # multi-host: must run before the first backend query
+    from distributionraytracer_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed(verbose=True)
     args.fn(args)
 
 

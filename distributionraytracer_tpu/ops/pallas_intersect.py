@@ -14,9 +14,15 @@ objects is unrolled (object *types* are static per scene, so each step
 lowers to just that primitive's formula), with per-object parameters read
 as scalars from an SMEM-resident copy of the packed table.
 
-Scope: brute-force (accel NONE) scenes, whose object counts are tens.  The
-kernel is forward-only; differentiable paths (inverse rendering) keep the
-jnp implementation — selection happens in ``RenderConfig.pallas``
+Scope: brute-force (accel NONE) scenes.  Small object tables are fully
+unrolled (each step lowers to exactly one primitive formula); long runs of
+consecutive same-type objects are handled by a ``fori_loop`` whose body
+reads the row's parameters from SMEM with a dynamic index — processing
+order stays insertion order either way, preserving the strict ``<``
+first-wins tie-break.  The kernel itself is forward-only; inverse
+rendering wraps it with ``integrator.whitted.differentiable_intersectors``
+(traversal under stop_gradient picks the winner, whose hit is recomputed
+differentiably) — selection in ``RenderConfig.pallas``
 (integrator.whitted.brute_intersectors).
 
 Layout: rays are passed SoA as ``(R,)`` streams (o, d, time), zero-padded
@@ -41,7 +47,9 @@ from distributionraytracer_tpu.scene.types import (
 
 LANES = 128
 TILE_ROWS = 64  # 64*128 = 8192 rays per grid step
-MAX_UNROLL = 128  # brute force is only sane for small object counts anyway
+MAX_UNROLL = 128   # budget of fully-unrolled candidate tests (compile time)
+LOOP_MIN = 16      # same-type runs at least this long use a fori_loop body
+MAX_OBJECTS = 1024  # SMEM table bound: 1024 x 12 f32 = 48 KiB
 
 
 def _dot3(ax, ay, az, bx, by, bz):
@@ -133,27 +141,56 @@ def _box_step(o, d, bmin, bmax):
     return tm, tuple(n)
 
 
-def _candidates(obj_types, motion_blur, data_ref, o, d, time):
-    """Yield (gid, t, normal) per object, unrolled in insertion order.
-
-    ``data_ref``: SMEM (O, 12) packed rows (SceneData.packed_objects layout);
-    the *type* per row is static so each step emits only one formula.
-    """
+def _type_runs(obj_types):
+    """Compress the static per-object type list into (type, start, length)
+    runs of consecutive same-type rows (insertion order preserved)."""
+    runs = []
     for gid, typ in enumerate(obj_types):
-        row = lambda k: data_ref[gid, k]
-        if typ == OBJ_SPHERE:
-            t, n = _sphere_step(o, d, time, (row(0), row(1), row(2)),
-                                row(3), motion_blur)
-        elif typ == OBJ_TRIANGLE:
-            t, n = _triangle_step(o, d, (row(0), row(1), row(2)),
-                                  (row(3), row(4), row(5)),
-                                  (row(6), row(7), row(8)))
-        elif typ == OBJ_PLANE:
-            t, n = _plane_step(o, d, (row(0), row(1), row(2)), row(3))
+        if runs and runs[-1][0] == typ:
+            runs[-1][2] += 1
         else:
-            t, n = _box_step(o, d, (row(0), row(1), row(2)),
-                             (row(3), row(4), row(5)))
-        yield gid, t, n
+            runs.append([typ, gid, 1])
+    return [tuple(r) for r in runs]
+
+
+def _one_step(typ, motion_blur, row, o, d, time):
+    """One primitive test; ``typ`` is static so only its formula lowers;
+    ``row(k)`` reads column k of the object's packed SMEM row (the index may
+    be a traced scalar inside a fori_loop body)."""
+    if typ == OBJ_SPHERE:
+        return _sphere_step(o, d, time, (row(0), row(1), row(2)),
+                            row(3), motion_blur)
+    if typ == OBJ_TRIANGLE:
+        return _triangle_step(o, d, (row(0), row(1), row(2)),
+                              (row(3), row(4), row(5)),
+                              (row(6), row(7), row(8)))
+    if typ == OBJ_PLANE:
+        return _plane_step(o, d, (row(0), row(1), row(2)), row(3))
+    return _box_step(o, d, (row(0), row(1), row(2)),
+                     (row(3), row(4), row(5)))
+
+
+def _fold_objects(obj_types, motion_blur, data_ref, o, d, time,
+                  update, carry):
+    """Fold ``update(carry, gid, t, normal) -> carry`` over every object in
+    insertion order (strict-< first-wins tie-break preserved).  Short runs
+    unroll (static row index → static scalar extracts); runs of at least
+    LOOP_MIN same-type rows lower to one ``fori_loop`` whose body reads the
+    row with a dynamic SMEM index, so the program size is O(#runs), not
+    O(#objects)."""
+    for typ, start, length in _type_runs(obj_types):
+        if length < LOOP_MIN:
+            for gid in range(start, start + length):
+                t, n = _one_step(typ, motion_blur,
+                                 lambda k, g=gid: data_ref[g, k], o, d, time)
+                carry = update(carry, gid, t, n)
+        else:
+            def body(i, c, typ=typ):
+                t, n = _one_step(typ, motion_blur,
+                                 lambda k: data_ref[i, k], o, d, time)
+                return update(c, i, t, n)
+            carry = jax.lax.fori_loop(start, start + length, body, carry)
+    return carry
 
 
 def _closest_kernel(obj_types, motion_blur,
@@ -165,24 +202,29 @@ def _closest_kernel(obj_types, motion_blur,
     time = tmr[:]
     shape = time.shape
 
-    best_t = jnp.full(shape, FLT_MAX, jnp.float32)
-    best_n = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
-    best_oid = jnp.full(shape, -1, jnp.int32)
-    best_mid = jnp.zeros(shape, jnp.int32)
+    init = (jnp.full(shape, FLT_MAX, jnp.float32),
+            jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.full(shape, -1, jnp.int32), jnp.zeros(shape, jnp.int32))
 
-    for gid, t, n in _candidates(obj_types, motion_blur, data_ref, o, d,
-                                 time):
+    def update(c, gid, t, n):
+        best_t, n0, n1, n2, best_oid, best_mid = c
         better = t < best_t  # strict <: first wins (main.cpp:321)
-        best_t = jnp.where(better, t, best_t)
-        for k in range(3):
-            best_n[k] = jnp.where(better, n[k], best_n[k])
-        best_oid = jnp.where(better, gid, best_oid)
-        best_mid = jnp.where(better, mats_ref[gid, 0], best_mid)
+        gid = jnp.asarray(gid, jnp.int32)
+        return (jnp.where(better, t, best_t),
+                jnp.where(better, n[0], n0),
+                jnp.where(better, n[1], n1),
+                jnp.where(better, n[2], n2),
+                jnp.where(better, gid, best_oid),
+                jnp.where(better, mats_ref[gid, 0], best_mid))
+
+    best_t, n0, n1, n2, best_oid, best_mid = _fold_objects(
+        obj_types, motion_blur, data_ref, o, d, time, update, init)
 
     t_out[:] = best_t
-    nx_out[:] = best_n[0]
-    ny_out[:] = best_n[1]
-    nz_out[:] = best_n[2]
+    nx_out[:] = n0
+    ny_out[:] = n1
+    nz_out[:] = n2
     oid_out[:] = best_oid
     mid_out[:] = best_mid
 
@@ -196,13 +238,14 @@ def _anyhit_kernel(obj_types, motion_blur,
     max_d = dist[:]
     ex = excl[:]
     time = jnp.zeros_like(max_d)
-    occluded = jnp.zeros(max_d.shape, jnp.bool_)
 
-    for gid, t, _n in _candidates(obj_types, motion_blur, data_ref, o, d,
-                                  time):
+    def update(occluded, gid, t, _n):
         # main.cpp:432-440: t in (1e-4, dist), skipping the shaded object
-        occluded = occluded | ((t < max_d) & (t > 1e-4) & (ex != gid))
+        gid = jnp.asarray(gid, jnp.int32)
+        return occluded | ((t < max_d) & (t > 1e-4) & (ex != gid))
 
+    occluded = _fold_objects(obj_types, motion_blur, data_ref, o, d, time,
+                             update, jnp.zeros(max_d.shape, jnp.bool_))
     occ_out[:] = occluded.astype(jnp.int32)
 
 
@@ -222,7 +265,16 @@ def _ray_grid(R):
 
 
 def pallas_supported(scene: SceneData) -> bool:
-    return 0 < scene.static.n_objects <= MAX_UNROLL
+    """Brute-force kernel applicability: the SMEM table must fit, and the
+    *unrolled* candidate count (rows in runs shorter than LOOP_MIN — runs of
+    at least LOOP_MIN lower to a fori_loop, not code) must stay within the
+    compile-time budget."""
+    n = scene.static.n_objects
+    if not 0 < n <= MAX_OBJECTS:
+        return False
+    unrolled = sum(length for _t, _s, length in
+                   _type_runs(scene.static.obj_types) if length < LOOP_MIN)
+    return unrolled <= MAX_UNROLL
 
 
 def _table_specs(scene: SceneData):

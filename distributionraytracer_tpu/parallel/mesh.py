@@ -49,17 +49,25 @@ def accel_intersectors(scene: SceneData, cfg: RenderConfig, accel,
     recomputes the winning hits differentiably — see
     ``integrator.whitted.differentiable_intersectors``.
     """
-    if accel is None:
-        return None
     if differentiable:
         from distributionraytracer_tpu.integrator.whitted import (
-            differentiable_intersectors,
+            brute_intersectors, differentiable_intersectors,
         )
         sg = lambda tree: jax.tree_util.tree_map(
             lambda x: jax.lax.stop_gradient(x) if hasattr(x, "dtype") else x,
             tree)
-        base = accel_intersectors(sg(scene), cfg, sg(accel), grid_unroll)
+        if accel is None:
+            # brute force: the Pallas megakernel is forward-only, so run it
+            # under stop_gradient to pick winners and recompute the winning
+            # hit differentiably (same recipe as the accel traversals); the
+            # jnp fallback gets the identical wrapper, which is gradient-
+            # equivalent to differentiating its where-selects directly.
+            base = brute_intersectors(sg(scene), cfg)
+        else:
+            base = accel_intersectors(sg(scene), cfg, sg(accel), grid_unroll)
         return differentiable_intersectors(scene, cfg, base)
+    if accel is None:
+        return None
     from distributionraytracer_tpu.accel.bvh import (
         ThreadedBVH, make_threaded_intersectors,
     )
@@ -95,6 +103,42 @@ def _static_grid_unroll(accel, grid_unroll):
     if grid_unroll is None and isinstance(accel, GridArrays):
         return _pick_unroll(accel.cell_start)
     return grid_unroll
+
+
+def maybe_init_distributed(verbose: bool = False) -> bool:
+    """Multi-host wiring: call ``jax.distributed.initialize()`` when a
+    coordinator is configured, so the same Mesh/shard_map code spans a pod
+    slice (SURVEY §7 step 10; DCN carries only init + the initial scene
+    broadcast, collectives ride ICI).
+
+    Opt-in via environment — either the standard JAX variables
+    (``JAX_COORDINATOR_ADDRESS``/auto-detected TPU pod metadata) with
+    ``DRT_DISTRIBUTED=1``, or the explicit triple ``DRT_COORDINATOR``,
+    ``DRT_NUM_PROCESSES``, ``DRT_PROCESS_ID``.  Returns True when
+    initialization ran.  Safe to call twice (second call is a no-op).
+    """
+    import os
+    global _DISTRIBUTED
+    if _DISTRIBUTED:
+        return True
+    coord = os.environ.get("DRT_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["DRT_NUM_PROCESSES"]),
+            process_id=int(os.environ["DRT_PROCESS_ID"]))
+    elif os.environ.get("DRT_DISTRIBUTED") == "1":
+        jax.distributed.initialize()  # TPU pod metadata / JAX env vars
+    else:
+        return False
+    _DISTRIBUTED = True
+    if verbose:
+        print(f"jax.distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} devices")
+    return True
+
+
+_DISTRIBUTED = False
 
 
 def ensure_devices(n_devices: int) -> None:
@@ -196,9 +240,14 @@ def make_sharded_train_step(cfg: RenderConfig, mesh: Mesh, rows_per: int,
     from distributionraytracer_tpu.scene.types import SceneData as _SD
     leaf_names = _SD._LEAF_NAMES
     allowed = set(leaf_names if update_leaves is None else update_leaves)
-    # gradients need the differentiable paths: jnp brute force + XLA
-    # traversal (the Pallas packet kernels are forward-only)
-    cfg = cfg.replace(pallas="off", accel_backend="xla")
+    # gradients ride the differentiable wrappers (forward-only kernels run
+    # under stop_gradient; winning hits recomputed differentiably).  The
+    # Pallas *packet traversal* kernels stay off here: their per-packet ray
+    # permutation makes them win only at full-frame scale, and the XLA
+    # traversal is the cross-checked reference under shard_map.  The brute
+    # Pallas megakernel (cfg.pallas) is allowed — accel_intersectors wraps
+    # it differentiably.
+    cfg = cfg.replace(accel_backend="xla")
     grid_unroll = _static_grid_unroll(accel, grid_unroll)
 
     def _is_float(x):

@@ -34,45 +34,70 @@ from distributionraytracer_tpu.scene.types import (
 )
 
 
-class _Tokens:
-    """Stream of whitespace tokens with `#` comment-to-eol handling.
+_WS = b" \t\r\n\f\v"
+_NATIVE_MIN = 32  # below this, ctypes call overhead beats scalar float()
 
-    The reference handles comments only at command position (scene.cpp:724-727)
-    and it consumes to end of line; we mirror that by splitting per line and
-    dropping tokens after a token starting with '#' only when the caller asks
-    for a command token.
+
+class _Tokens:
+    """Byte-position stream of whitespace tokens with `#` comment-to-eol
+    handling.
+
+    The reference handles comments only at command position
+    (scene.cpp:724-727) and consumes to end of line; ``skip_line`` mirrors
+    `ignore('\\n')`.  Tracking a byte cursor (rather than pre-splitting
+    lines) lets bulk numeric reads — the dragon mesh is ~450k numbers —
+    drop into the native C tokenizer (native/drt_native.cpp
+    ``drt_parse_floats``), with `float()` loops as the fallback.
     """
 
     def __init__(self, text: str):
-        self._lines = text.splitlines()
-        self._toks: List[str] = []
-        self._li = 0  # next line to pull from
-        self._ti = 0
-
-    def _fill(self):
-        while self._ti >= len(self._toks) and self._li < len(self._lines):
-            self._toks.extend(self._lines[self._li].split())
-            self._li += 1
+        self._b = text.encode("utf-8")
+        self._pos = 0
 
     def next(self) -> Optional[str]:
-        self._fill()
-        if self._ti >= len(self._toks):
+        b, n = self._b, len(self._b)
+        i = self._pos
+        while i < n and b[i] in _WS:
+            i += 1
+        if i >= n:
+            self._pos = i
             return None
-        t = self._toks[self._ti]
-        self._ti += 1
-        return t
+        j = i
+        while j < n and b[j] not in _WS:
+            j += 1
+        self._pos = j
+        return b[i:j].decode("utf-8")
 
     def skip_line(self):
-        """Drop remaining tokens of the current logical line (comment)."""
-        # tokens already buffered past _ti belong to lines <= _li-1; emulate
-        # `ignore('\n')` by dropping buffered tokens.
-        self._toks = self._toks[: self._ti]
+        """Advance past the current line (comment to eol)."""
+        k = self._b.find(b"\n", self._pos)
+        self._pos = len(self._b) if k < 0 else k + 1
+
+    def _bulk(self, n: int):
+        """n whitespace-separated numbers as float64, native when it pays."""
+        from distributionraytracer_tpu import native
+        if n >= _NATIVE_MIN and native.available():
+            vals, self._pos = native.parse_floats_native(self._b, self._pos,
+                                                         n)
+            return vals
+        return np.array([float(self.next()) for _ in range(n)], np.float64)
 
     def floats(self, n: int) -> List[float]:
-        return [float(self.next()) for _ in range(n)]
+        return self._bulk(n).tolist()
+
+    def float_array(self, n: int) -> np.ndarray:
+        return self._bulk(n)
+
+    def int_array(self, n: int) -> np.ndarray:
+        # mesh indices are < 2^53 so the float64 round-trip is exact
+        v = self._bulk(n)
+        iv = v.astype(np.int64)
+        if not (iv == v).all():
+            raise ValueError("expected integers")
+        return iv
 
     def ints(self, n: int) -> List[int]:
-        return [int(self.next()) for _ in range(n)]
+        return self.int_array(n).tolist()
 
 
 def load_p3f(path: str, load_sky: bool = True) -> SceneData:
@@ -112,8 +137,8 @@ def load_p3f(path: str, load_sky: bool = True) -> SceneData:
             b.add_triangle(v[0:3], v[3:6], v[6:9])
         elif cmd == "mesh":
             nv, nf = tk.ints(2)
-            verts = np.array(tk.floats(3 * nv), np.float32).reshape(nv, 3)
-            faces = np.array(tk.ints(3 * nf), np.int64).reshape(nf, 3)
+            verts = tk.float_array(3 * nv).astype(np.float32).reshape(nv, 3)
+            faces = tk.int_array(3 * nf).reshape(nf, 3)
             # 1-based indices, or negative offsets from the end
             # (scene.cpp:578-593: P0 > 0 -> subtract 1; else add nV)
             faces = np.where(faces[:, :1] > 0, faces - 1, faces + nv)

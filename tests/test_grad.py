@@ -118,6 +118,34 @@ def test_soft_shadow_off_is_reference_hard_shadow():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_grad_with_pallas_brute_kernel():
+    """Inverse rendering no longer falls back off the Pallas megakernel:
+    the forward-only kernel runs under stop_gradient to pick winners and
+    the winning hit is recomputed differentiably
+    (parallel.mesh.accel_intersectors(differentiable=True)).  Forward must
+    match the plain jnp render and gradients must match the jnp autodiff
+    path (same piecewise-smooth function away from selection boundaries)."""
+    from distributionraytracer_tpu.parallel.mesh import accel_intersectors
+
+    scene = small_scene(glass=True).device_put()
+    samples = make_samples(scene, RenderConfig(spp=1), jax.random.PRNGKey(2))
+
+    def loss(cd, cfg):
+        s = dataclasses.replace(scene, mat_cd=cd)
+        inter = accel_intersectors(s, cfg, None, differentiable=True)
+        img = render_from_samples(s, cfg, samples, inter=inter)
+        return jnp.sum(img * jnp.cos(jnp.arange(img.size).reshape(img.shape)))
+
+    on = RenderConfig(spp=1, pallas="on")    # interpret-mode kernel on CPU
+    off = RenderConfig(spp=1, pallas="off")  # plain jnp brute autodiff
+    v_on, g_on = jax.value_and_grad(loss)(scene.mat_cd, on)
+    v_off, g_off = jax.value_and_grad(lambda cd: loss(cd, off))(scene.mat_cd)
+    np.testing.assert_allclose(float(v_on), float(v_off), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
+                               rtol=1e-3, atol=1e-5)
+    assert np.abs(np.asarray(g_on)).max() > 0
+
+
 def test_grad_through_quad_light_and_skybox(scenes_dir):
     import os
     from distributionraytracer_tpu.scene import load_p3f

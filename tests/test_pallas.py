@@ -79,12 +79,47 @@ def test_full_render_pallas_on_vs_off(scenes_dir):
 
 
 def test_pallas_supported_bounds(scenes_dir):
+    import dataclasses
     scene = load_p3f(os.path.join(scenes_dir, "balls_low.p3f"))
     assert PI.pallas_supported(scene)
-    # the dragon mesh exceeds the unroll budget -> jnp/accel paths instead
-    import dataclasses
-    st = dataclasses.replace(scene.static,
-                             obj_types=(0,) * (PI.MAX_UNROLL + 1))
+
+    def with_types(types):
+        st = dataclasses.replace(scene.static, obj_types=types,
+                                 n_objects=len(types))
+        return dataclasses.replace(scene, static=st)
+
+    # one long same-type run lowers to a fori_loop -> supported beyond the
+    # unroll budget, up to the SMEM table bound
+    assert PI.pallas_supported(with_types((0,) * (PI.MAX_UNROLL + 1)))
+    assert PI.pallas_supported(with_types((0,) * PI.MAX_OBJECTS))
+    assert not PI.pallas_supported(with_types((0,) * (PI.MAX_OBJECTS + 1)))
+    # alternating types = all runs short = all unrolled -> budget applies
     assert not PI.pallas_supported(
-        dataclasses.replace(scene, static=dataclasses.replace(
-            st, n_objects=PI.MAX_UNROLL + 1)))
+        with_types((0, 1) * (PI.MAX_UNROLL // 2 + 1)))
+
+
+def test_closest_hit_loop_path_matches_jnp(scenes_dir):
+    """blueDiamond's 178-triangle mesh exceeds MAX_UNROLL: its run lowers
+    to the dynamic-index fori_loop body, which must agree with the jnp
+    brute scan exactly (incl. first-wins insertion-order tie-break)."""
+    scene = load_p3f(os.path.join(scenes_dir, "blueDiamond.p3f"))
+    assert scene.static.n_objects > PI.MAX_UNROLL
+    assert PI.pallas_supported(scene)
+    scene = scene.device_put()
+    o, d, t = _random_rays(500, seed=3)
+    # aim half the rays at the mesh so plenty hit triangles
+    a = closest_hit_brute(scene, o, d, t, False)
+    b = PI.closest_hit_pallas(scene, o, d, t, False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.obj_id), np.asarray(b.obj_id))
+    hit = np.asarray(a.hit)
+    np.testing.assert_allclose(np.asarray(a.t)[hit], np.asarray(b.t)[hit],
+                               rtol=1e-4, atol=1e-4)
+
+    rng = np.random.default_rng(4)
+    dist = jnp.asarray(rng.random(500) * 10, jnp.float32)
+    ex = jnp.asarray(rng.integers(-1, scene.static.n_objects, 500),
+                     jnp.int32)
+    sa = any_hit_brute(scene, o, d, jnp.zeros(500), dist, ex, False)
+    sb = PI.any_hit_pallas(scene, o, d, dist, ex, False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))

@@ -89,7 +89,7 @@ def test_sharded_accel_train_step(scenes_dir):
     target_p = jnp.concatenate(
         [target, jnp.zeros((pad,) + target.shape[1:])], axis=0)
     rows_per = samples_p.time.shape[0] // 8
-    step = make_sharded_train_step(cfg, mesh, rows_per, lr=0.5,
+    step = make_sharded_train_step(cfg, mesh, rows_per, lr=4.0,
                                    update_leaves=("mat_cd",), accel=ab.xla)
     losses = []
     s = scene
