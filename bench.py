@@ -222,9 +222,14 @@ def measure_scene(name, repeats=2):
     }
 
 
-def measure_pt(res_x=800, res_y=600, spp=64, chunk=8, repeats=1):
+def measure_pt(res_x=800, res_y=600, spp=64, chunk=32, repeats=1):
     """GLSL-semantics Monte Carlo path tracer (P3D_RT.glsl SCENE 0) at the
-    harness shape: 800x600, 64 spp, 10 bounces with Russian roulette."""
+    harness shape: 800x600, 64 spp, 10 bounces with Russian roulette.
+
+    ``render_pt`` tiles rays internally (cfg.pt_tile_rays), so HBM stays
+    bounded at any spp; ``chunk`` only bounds single-dispatch wall time
+    (remote-platform watchdog), mirroring the GLSL harness's progressive
+    per-frame accumulation (P3D_RT.html:1753-1783)."""
     import jax
     from distributionraytracer_tpu.config import RenderConfig
     from distributionraytracer_tpu.integrator.pathtracer import render_pt

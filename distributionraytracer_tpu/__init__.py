@@ -20,4 +20,36 @@ differentiable end-to-end w.r.t. materials, lights and camera.
 
 __version__ = "0.1.0"
 
-from distributionraytracer_tpu.config import RenderConfig  # noqa: F401
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (VERDICT r2 item 3).
+
+    The reference renders a never-seen scene seconds after launch
+    (main.cpp:1074-1078); our first dragon render costs minutes of
+    XLA/Mosaic compile.  A disk cache makes every compile after the first
+    *process* warm — the TPU analog of the reference's instant relaunch.
+    Opt out with DRT_NO_COMPILE_CACHE=1; relocate with DRT_COMPILE_CACHE.
+    """
+    if _os.environ.get("DRT_NO_COMPILE_CACHE") == "1":
+        return
+    import jax
+
+    path = _os.environ.get(
+        "DRT_COMPILE_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "drt_jax_cache"))
+    try:
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything: even "fast" compiles are network roundtrips on
+        # the remote-TPU platform
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # cache is an optimization, never a hard dependency
+
+
+_enable_compile_cache()
+
+from distributionraytracer_tpu.config import RenderConfig  # noqa: F401,E402

@@ -79,9 +79,49 @@ def quantized_bboxes(scene: SceneData, grid: GridArrays) -> np.ndarray:
     return q.astype(np.float32)
 
 
-def pack_grid(scene: SceneData, grid: GridArrays) -> Optional[PallasGrid]:
-    """Host-side: SAH BVH over quantized AABBs, threaded + packed."""
+def emulation_bboxes(scene: SceneData, grid: GridArrays) -> np.ndarray:
+    """Per-object boxes for the emulation BVH: true AABBs where safe,
+    cell-quantized where the DDA's *tested-set* semantics leak.
+
+    The DDA tests object ``o`` whenever the ray crosses a cell of ``o``'s
+    span; most of those tests miss.  What is observable is only (min-t,
+    any-t<dist) over the *hits*, and every hit on a **static triangle,
+    box or sphere lies inside its true AABB** — so a BVH over true AABBs
+    tests a subset of the DDA's set that contains every object with a
+    valid hit, giving identical closest/shadow results (tie order and
+    exact float-boundary cases excepted — the same measure-zero class
+    already budgeted vs the XLA DDA).  True AABBs restore the SAH
+    separation the cell quantization destroyed: 100k-triangle grid scenes
+    (assignment1) traverse like their BVH twins (dragon_assignment1)
+    instead of ~870x slower (round-2 measurement).
+
+    Quantization must be kept where a hit CAN fall outside the box:
+
+    - **planes**: the reference never overrides the default (-1,-1,-1)..
+      (1,1,1) Object bbox (scene.h:116), so the DDA only tests a plane
+      near the origin — a kept reference bug; the observable tested set
+      IS the quantized span.
+    - **moving spheres** (motion blur): centers move by velocity*time but
+      insertion uses the static bbox (grid.cpp:75-92 + scene.cpp:158-162)
+      — a hit can escape the static AABB yet be found via the span.
+      Spheres are quantized unconditionally (motion is a render-time
+      flag; sphere-heavy grid scenes like balls_high already traverse
+      fast with quantized boxes).
+    """
+    from distributionraytracer_tpu.scene.types import (
+        OBJ_BOX, OBJ_TRIANGLE,
+    )
+    true_bb = object_bboxes(scene)
     q = quantized_bboxes(scene, grid)
+    types = np.array(scene.static.obj_types, np.int64)
+    tight = (types == OBJ_TRIANGLE) | (types == OBJ_BOX)
+    q[tight] = true_bb[tight]
+    return q
+
+
+def pack_grid(scene: SceneData, grid: GridArrays) -> Optional[PallasGrid]:
+    """Host-side: SAH BVH over emulation AABBs, threaded + packed."""
+    q = emulation_bboxes(scene, grid)
     tb = thread_bvh(build_bvh(scene, bboxes=q))
     tabs = pack_threaded(scene, tb)
     if tabs is None:

@@ -81,6 +81,11 @@ class RenderConfig:
     # Path-tracer knobs (P3D_RT.glsl:581, 739)
     max_bounces: int = 10
     russian_roulette: bool = True
+    # Path-tracer wavefront tile (rays per lax.map step inside render_pt).
+    # Caps live HBM at O(tile x primitives): the untiled trace at the
+    # reference harness shape (800x600, 8-spp chunk) needed 16.2 GB of
+    # (rays, primitives) temps — more than one chip.  0 = no tiling.
+    pt_tile_rays: int = 131072
 
     def __post_init__(self):
         if self.shadow_mode not in ("reference", "correct"):

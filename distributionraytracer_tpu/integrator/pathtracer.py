@@ -65,9 +65,19 @@ class PTHit(NamedTuple):
 def hit_world(scene: PTScene, o, d, time, tmin=1e-3, tmax=1e4) -> PTHit:
     """Closest hit over the PT scene tables (first-wins on exact ties in
     table order: triangles, spheres, moving spheres — matching the
-    sequential if-chain of P3D_RT.glsl:16-481 for the generated layouts)."""
+    sequential if-chain of P3D_RT.glsl:16-481 for the generated layouts).
+
+    TPU layout: every per-(primitive, ray) intermediate is a (N, R) plane
+    with the ray index on the 128-wide lane dimension and the primitive
+    index on sublanes — N (≈25-90 for the GLSL scenes) pads to the next
+    multiple of 8 instead of to 128, and 3-vectors are three separate
+    planes, never a lane-resident axis of 3.  The previous (R, N, 3)
+    einsum formulation padded N→128 (5.1× waste) and at 800×600×8spp
+    materialized 16.2 GB of temps — more than one chip's HBM."""
     R = o.shape[0]
     INF = np.float32(3.4e38)
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
 
     # tmax can be a traced scalar (shadow queries); multiply into a host
     # constant so concrete calls never create device arrays during trace
@@ -76,46 +86,59 @@ def hit_world(scene: PTScene, o, d, time, tmin=1e-3, tmax=1e4) -> PTHit:
     best_m = np.zeros((R,), np.int32)
     found = np.zeros((R,), bool)
 
+    def cols(a):
+        """(N,3) table -> three (N,1) columns (broadcast against (R,))."""
+        return a[:, 0][:, None], a[:, 1][:, None], a[:, 2][:, None]
+
     # --- triangles (hit_triangle, common.glsl:418-447; t in (tmin, rec.t))
     if scene.tri_v0.shape[0]:
-        v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
-        h = jnp.cross(d[:, None, :], e2[None])
-        a = dot(e1[None], h)
+        v0x, v0y, v0z = cols(scene.tri_v0)
+        e1x, e1y, e1z = cols(scene.tri_e1)
+        e2x, e2y, e2z = cols(scene.tri_e2)
+        hx = dy * e2z - dz * e2y  # (T,R)
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
         nz = a != 0.0
         f = 1.0 / jnp.where(nz, a, 1.0)
-        s = o[:, None, :] - v0[None]
-        u = f * dot(s, h)
-        q = jnp.cross(s, e1[None])
-        v = f * jnp.einsum("rnk,rk->rn", q, d)
-        t = f * dot(e2[None], q)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (qx * dx + qy * dy + qz * dz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
         ok = nz & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > tmin)
         tm = jnp.where(ok, t, INF)
         # sequential strict-< update in table order == argmin first-wins
-        idx = jnp.argmin(tm, axis=1)
-        tbest = jnp.take_along_axis(tm, idx[:, None], 1)[:, 0]
+        idx = jnp.argmin(tm, axis=0)
+        tbest = jnp.min(tm, axis=0)
         better = tbest < best_t
-        n = normalize(jnp.cross(e1, e2))[idx]
+        n = normalize(jnp.cross(scene.tri_e1, scene.tri_e2))[idx]
         best_n = jnp.where(better[:, None], n, best_n)
         best_m = jnp.where(better, scene.tri_mat[idx], best_m)
         best_t = jnp.where(better, tbest, best_t)
         found = found | better
 
+    a_dd = dx * dx + dy * dy + dz * dz  # (R,)
+
     # --- spheres (hit_sphere, common.glsl:513-549)
     if scene.sph_center.shape[0]:
-        oc = o[:, None, :] - scene.sph_center[None]
-        a = dot(d, d)[:, None]
-        b = 2.0 * jnp.einsum("rnk,rk->rn", oc, d)
-        c = dot(oc, oc) - (scene.sph_radius ** 2)[None]
-        disc = b * b - 4 * a * c
+        cx, cy, cz = cols(scene.sph_center)
+        rad2 = (scene.sph_radius ** 2)[:, None]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz  # (S,R)
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - rad2
+        disc = b * b - 4 * a_dd * c
         pos_d = disc > 0
         sq = jnp.where(pos_d, jnp.sqrt(jnp.where(pos_d, disc, 1.0)), 0.0)
-        t1 = (-b - sq) / (2 * a)
-        t2 = (-b + sq) / (2 * a)
+        t1 = (-b - sq) / (2 * a_dd)
+        t2 = (-b + sq) / (2 * a_dd)
         t = jnp.where(t1 > EPS, t1, t2)
         ok = (disc >= 0) & (t > EPS) & (t > tmin)
         tm = jnp.where(ok, t, INF)
-        idx = jnp.argmin(tm, axis=1)
-        tbest = jnp.take_along_axis(tm, idx[:, None], 1)[:, 0]
+        idx = jnp.argmin(tm, axis=0)
+        tbest = jnp.min(tm, axis=0)
         better = tbest < best_t
         cen = scene.sph_center[idx]
         rad = scene.sph_radius[idx]
@@ -129,17 +152,25 @@ def hit_world(scene: PTScene, o, d, time, tmin=1e-3, tmax=1e4) -> PTHit:
 
     # --- moving spheres (hit_movingSphere, common.glsl:551-605)
     if scene.msph_c0.shape[0]:
-        # center(t) = c0 + (c1-c0) * (time - 0) / (1 - 0)
-        c0 = (scene.msph_c0[None] + (scene.msph_c1 - scene.msph_c0)[None]
-              * time[:, None, None])
-        c1 = (scene.msph_c0[None] + (scene.msph_c1 - scene.msph_c0)[None]
-              * (time[:, None, None] + EPS))
-        d1 = (c1 - c0) / 1.0  # (time1 - time0) == 1
-        oc = o[:, None, :] - c0
-        dd1 = jnp.einsum("rk,rnk->rn", d, d1)
-        a = dot(d, d)[:, None] - dd1 * dd1
-        b = 2.0 * (jnp.einsum("rnk,rk->rn", oc, d) - dot(oc, d1) * dd1)
-        c = dot(oc, oc) - dot(oc, d1) ** 2 - (scene.msph_radius ** 2)[None]
+        # center(t) = c0 + (c1-c0) * (time - 0) / (1 - 0); the GLSL path
+        # evaluates d1 = center(time+EPS) - center(time) = (c1-c0) * EPS,
+        # which is time-independent — a (M,1) column, not a (M,R) plane
+        ax_, ay_, az_ = cols(scene.msph_c0)
+        bx_ = scene.msph_c1[:, 0][:, None] - ax_
+        by_ = scene.msph_c1[:, 1][:, None] - ay_
+        bz_ = scene.msph_c1[:, 2][:, None] - az_
+        c0x = ax_ + bx_ * time  # (M,R)
+        c0y = ay_ + by_ * time
+        c0z = az_ + bz_ * time
+        d1x, d1y, d1z = bx_ * EPS, by_ * EPS, bz_ * EPS  # (M,1)
+        rad2 = (scene.msph_radius ** 2)[:, None]
+        ocx, ocy, ocz = ox - c0x, oy - c0y, oz - c0z
+        dd1 = dx * d1x + dy * d1y + dz * d1z  # (M,R)
+        a = a_dd - dd1 * dd1
+        oc_d = ocx * dx + ocy * dy + ocz * dz
+        oc_d1 = ocx * d1x + ocy * d1y + ocz * d1z
+        b = 2.0 * (oc_d - oc_d1 * dd1)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - oc_d1 * oc_d1 - rad2
         disc = b * b - 4 * a * c
         pos_d = disc > 0
         sq = jnp.where(pos_d, jnp.sqrt(jnp.where(pos_d, disc, 1.0)), 0.0)
@@ -149,14 +180,17 @@ def hit_world(scene: PTScene, o, d, time, tmin=1e-3, tmax=1e4) -> PTHit:
         outside = t1 > EPS
         ok = (disc >= 0) & (t > EPS) & (t > tmin)
         tm = jnp.where(ok, t, INF)
-        idx = jnp.argmin(tm, axis=1)
-        tbest = jnp.take_along_axis(tm, idx[:, None], 1)[:, 0]
+        idx = jnp.argmin(tm, axis=0)
+        tbest = jnp.min(tm, axis=0)
         better = tbest < best_t
         p = o + d * tbest[:, None]
-        ctr = jnp.where(
-            jnp.take_along_axis(outside, idx[:, None], 1),
-            jnp.take_along_axis(c0, idx[:, None, None], 1),
-            jnp.take_along_axis(c1, idx[:, None, None], 1))[:, 0]
+        ar = idx[None, :]
+        gat = lambda m: jnp.take_along_axis(m, ar, axis=0)[0]  # (M,R)->(R,)
+        out_sel = gat(outside)
+        ctr = jnp.stack(
+            [jnp.where(out_sel, gat(c0x), gat(c0x + d1x)),
+             jnp.where(out_sel, gat(c0y), gat(c0y + d1y)),
+             jnp.where(out_sel, gat(c0z), gat(c0z + d1z))], axis=-1)
         n = safe_normalize(p - ctr)
         best_n = jnp.where(better[:, None], n, best_n)
         best_m = jnp.where(better, scene.msph_mat[idx], best_m)
@@ -462,6 +496,31 @@ def ray_color(scene: PTScene, cfg: RenderConfig, o, d, time, key):
     return col
 
 
+def ray_color_tiled(scene: PTScene, cfg: RenderConfig, o, d, time, key):
+    """``ray_color`` over fixed-size ray tiles via ``lax.map``.
+
+    Caps live HBM at O(tile × primitives) regardless of frame size — the
+    same wavefront-tiling scheme as ``integrator.render.render_from_samples``
+    (render.py:187-196).  Each tile gets its own fold-in key; the sample
+    stream differs from the untiled path but the estimator is identical."""
+    R = o.shape[0]
+    tile = min(cfg.pt_tile_rays, R) if cfg.pt_tile_rays else R
+    if tile >= R:
+        return ray_color(scene, cfg, o, d, time, key)
+    pad = (-R) % tile
+    if pad:
+        padf = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        o, d, time = padf(o), padf(d), padf(time)
+    nt = (R + pad) // tile
+    keys = jax.random.split(key, nt)
+    sh = lambda a: a.reshape((nt, tile) + a.shape[1:])
+    cols = jax.lax.map(
+        lambda args: ray_color(scene, cfg, *args),
+        (sh(o), sh(d), sh(time), keys))
+    return cols.reshape(-1, 3)[:R]
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3), static_argnames=("spp", "fovy"))
 def render_pt(scene: PTScene, cfg: RenderConfig, res_x: int, res_y: int,
               key=None, eye=None, at=None, fovy=60.0, spp: int = 1):
@@ -507,8 +566,8 @@ def render_pt(scene: PTScene, cfg: RenderConfig, res_x: int, res_y: int,
     time = jax.random.uniform(k_time, (res_y, res_x, spp))  # time0=0, time1=1
 
     R = res_x * res_y * spp
-    col = ray_color(scene, cfg, o.reshape(R, 3), d.reshape(R, 3),
-                    time.reshape(R), k_trace)
+    col = ray_color_tiled(scene, cfg, o.reshape(R, 3), d.reshape(R, 3),
+                          time.reshape(R), k_trace)
     return jnp.mean(col.reshape(res_y, res_x, spp, 3), axis=2)
 
 
