@@ -163,8 +163,15 @@ def _block_perm(H: int, W: int, S: int, tile: int = 1024) -> np.ndarray:
 def render_from_samples(scene: SceneData, cfg: RenderConfig,
                         samples: SampleSet, row_offset=0,
                         inter: Optional[Intersectors] = None,
-                        average: bool = True):
-    """Trace a SampleSet; pure function, safe to jit / shard_map / grad."""
+                        average: bool = True, return_rays: bool = False):
+    """Trace a SampleSet; pure function, safe to jit / shard_map / grad.
+
+    ``return_rays=True`` additionally returns the integrator's exact
+    traced-ray count (tree nodes + shadow rays, whitted.py counters) as a
+    scalar — the honest denominator for rays/s.  Tile-padding lanes are
+    included in the count (0 when the batch divides the tile, < one tile
+    otherwise).
+    """
     H, W, S = samples.time.shape
     o, d, t, ls = _rays_from_samples(scene, cfg, samples, row_offset)
 
@@ -185,22 +192,24 @@ def render_from_samples(scene: SceneData, cfg: RenderConfig,
     nt = (n + pad) // tile
 
     def trace(args):
-        color, _ = trace_whitted(scene, cfg, *args, inter=inter)
-        return color
+        color, stats = trace_whitted(scene, cfg, *args, inter=inter)
+        return color, stats["rays_traced"] + stats["shadow_rays"]
 
     if nt == 1:
-        colors = trace((o, d, t, ls))
+        colors, nrays = trace((o, d, t, ls))
     else:
         shape2 = lambda a: a.reshape((nt, tile) + a.shape[1:])
-        colors = jax.lax.map(trace, (shape2(o), shape2(d), shape2(t),
-                                     shape2(ls)))
+        colors, nrays = jax.lax.map(
+            trace, (shape2(o), shape2(d), shape2(t), shape2(ls)))
+        nrays = jnp.sum(nrays)
     colors = colors.reshape(-1, 3)[:n]
     if perm is not None:
         inv = np.empty_like(perm)
         inv[perm] = np.arange(n, dtype=np.int32)
         colors = colors[inv]
     colors = colors.reshape(H, W, S, 3)
-    return jnp.mean(colors, axis=2) if average else colors
+    img = jnp.mean(colors, axis=2) if average else colors
+    return (img, nrays) if return_rays else img
 
 
 @partial(jax.jit, static_argnums=(1,))

@@ -37,14 +37,14 @@ from distributionraytracer_tpu.scene.types import (
 )
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _render_none(scene, cfg, samples):
-    return render_from_samples(scene, cfg, samples)
+@partial(jax.jit, static_argnums=(1, 3))
+def _render_none(scene, cfg, samples, return_rays=False):
+    return render_from_samples(scene, cfg, samples, return_rays=return_rays)
 
 
-@partial(jax.jit, static_argnums=(1, 6))
+@partial(jax.jit, static_argnums=(1, 6, 7))
 def _render_grid(scene, cfg, grid: GridArrays, pg, samples, row_offset,
-                 unroll):
+                 unroll, return_rays=False):
     if pg is not None and _use_pallas_accel(cfg):
         from distributionraytracer_tpu.accel.pallas_grid import (
             make_pallas_grid_intersectors,
@@ -57,7 +57,7 @@ def _render_grid(scene, cfg, grid: GridArrays, pg, samples, row_offset,
         inter = make_grid_intersectors(scene, grid, cfg.motion_blur,
                                        unroll=unroll)
     return render_from_samples(scene, cfg, samples, row_offset=row_offset,
-                               inter=inter)
+                               inter=inter, return_rays=return_rays)
 
 
 def _use_pallas_accel(cfg) -> bool:
@@ -69,8 +69,9 @@ def _use_pallas_accel(cfg) -> bool:
     return backend != "cpu"
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _render_bvh(scene, cfg, tbvh: ThreadedBVH, tabs, samples, row_offset):
+@partial(jax.jit, static_argnums=(1, 6))
+def _render_bvh(scene, cfg, tbvh: ThreadedBVH, tabs, samples, row_offset,
+                return_rays=False):
     if tabs is not None and _use_pallas_accel(cfg):
         from distributionraytracer_tpu.accel.pallas_bvh import (
             make_pallas_bvh_intersectors,
@@ -85,7 +86,7 @@ def _render_bvh(scene, cfg, tbvh: ThreadedBVH, tabs, samples, row_offset):
     else:
         inter = make_threaded_intersectors(scene, tbvh, cfg.motion_blur)
     return render_from_samples(scene, cfg, samples, row_offset=row_offset,
-                               inter=inter)
+                               inter=inter, return_rays=return_rays)
 
 
 class AccelBuild:
@@ -157,17 +158,18 @@ class Renderer:
         self.bvh_tabs = ab.pallas if ab.kind == ACCEL_BVH else None
 
     # ------------------------------------------------------------- batch
-    def _render_chunk(self, samples: SampleSet, row_offset):
+    def _render_chunk(self, samples: SampleSet, row_offset,
+                      return_rays=False):
         if self.accel == ACCEL_GRID:
             return _render_grid(self.scene, self.cfg, self.grid,
                                 self.grid_pallas, samples, row_offset,
-                                self.grid_unroll)
+                                self.grid_unroll, return_rays)
         return _render_bvh(self.scene, self.cfg, self.bvh, self.bvh_tabs,
-                           samples, row_offset)
+                           samples, row_offset, return_rays)
 
-    def render_with_samples(self, samples: SampleSet):
+    def render_with_samples(self, samples: SampleSet, return_rays=False):
         if self.accel == ACCEL_NONE:
-            return _render_none(self.scene, self.cfg, samples)
+            return _render_none(self.scene, self.cfg, samples, return_rays)
         H, W, S = samples.time.shape
         cfg = self.cfg
         if ((self.bvh_tabs is not None or self.grid_pallas is not None)
@@ -179,7 +181,8 @@ class Renderer:
             rows = (max(1, cfg.accel_dispatch_rays // (W * S))
                     if cfg.accel_dispatch_rays else H)
         if rows >= H:
-            return self._render_chunk(samples, jnp.zeros((), jnp.float32))
+            return self._render_chunk(samples, jnp.zeros((), jnp.float32),
+                                      return_rays)
         # host-chunked dispatch: every device execution stays under the
         # remote platform's watchdog; one compile reused for all chunks
         # (row_offset is a traced scalar, the last chunk is padded)
@@ -189,21 +192,31 @@ class Renderer:
                 [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
             samples = SampleSet(f(samples.pixel), f(samples.light),
                                 f(samples.lens), f(samples.time))
-        outs = []
+        outs, counts = [], []
         for off in range(0, H + pad, rows):
             sl = lambda a: jax.lax.slice_in_dim(a, off, off + rows, axis=0)
             chunk = SampleSet(sl(samples.pixel), sl(samples.light),
                               sl(samples.lens), sl(samples.time))
-            outs.append(self._render_chunk(
-                chunk, jnp.float32(off)))
-        return jnp.concatenate(outs, axis=0)[:H]
+            out = self._render_chunk(chunk, jnp.float32(off), return_rays)
+            if return_rays:
+                out, nr = out
+                counts.append(nr)
+            outs.append(out)
+        img = jnp.concatenate(outs, axis=0)[:H]
+        if return_rays:
+            return img, sum(counts)
+        return img
 
-    def render(self, key=None):
-        """Full Zone-B render (main.cpp:602-737): returns (H, W, 3) f32."""
+    def render(self, key=None, return_rays=False):
+        """Full Zone-B render (main.cpp:602-737): returns (H, W, 3) f32.
+
+        ``return_rays=True`` also returns the exact traced-ray count
+        (primary tree nodes + shadow rays, from the integrator's per-level
+        counters) — the denominator bench.py uses for rays/s."""
         if key is None:
             key = jax.random.PRNGKey(0)
         samples = make_samples(self.scene, self.cfg, key)
-        return self.render_with_samples(samples)
+        return self.render_with_samples(samples, return_rays=return_rays)
 
     # ------------------------------------------------------ progressive
     def progressive_init(self):
