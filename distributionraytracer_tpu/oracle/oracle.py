@@ -151,6 +151,31 @@ class Oracle:
         self.sky_faces = g(scene.sky_faces)
         self.sky_res = g(scene.sky_res)
 
+        # grid gates (grid.cpp:100-260): world bbox exactly as Grid::Build
+        # pads it, for the Init_Traverse-fail and walk-out-drop semantics
+        self.grid_box = None
+        if st.accel == ACCEL_GRID and st.n_objects:
+            from distributionraytracer_tpu.accel.grid import object_bboxes
+            bb = object_bboxes(scene)
+            self.grid_box = (bb[:, 0].min(0) - EPSILON,
+                             bb[:, 1].max(0) + EPSILON)
+
+    def _grid_gate(self, o, d):
+        """Slab init on the grid bbox: (ok, exit_t) — grid.cpp:104-171.
+
+        ``ok`` False reproduces Init_Traverse failure (closest: miss,
+        grid.cpp:258-260; shadow: counts as occluded, grid.cpp:321-324);
+        ``exit_t`` gates closest hits (record dropped when the DDA walks
+        out of the grid first, grid.cpp:289-304)."""
+        lo, hi = self.grid_box
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a = 1.0 / d
+        tmin = np.where(a >= 0, (lo - o) * a, (hi - o) * a)
+        tmax = np.where(a >= 0, (hi - o) * a, (lo - o) * a)
+        t0 = float(np.max(tmin))
+        t1 = float(np.min(tmax))
+        return not (t0 > t1 or t1 < 0), t1
+
     # ---------------------------------------------------------------- camera
     def camera(self):
         st = self.st
@@ -186,14 +211,27 @@ class Oracle:
 
     # ---------------------------------------------------------------- trace
     def closest_hit(self, o, d, time):
+        gate_t1 = None
+        if self.grid_box is not None:
+            ok, gate_t1 = self._grid_gate(o, d)
+            if not ok:  # Init_Traverse failure = miss (grid.cpp:258-260)
+                return None, FLT_MAX, None
         best_t, best_obj, best_n = FLT_MAX, None, None
         for i, obj in enumerate(self.objs):
             ok, t, n = obj.hit(o, d, time, self.motion_blur)
             if ok and t < best_t:
                 best_t, best_obj, best_n = t, i, n
+        if (best_obj is not None and gate_t1 is not None
+                and not best_t < gate_t1):
+            # DDA walked out before reaching the hit cell (grid.cpp:289-304)
+            return None, FLT_MAX, None
         return best_obj, best_t, best_n
 
     def in_shadow(self, o, d, max_dist, exclude):
+        if self.grid_box is not None:
+            ok, _ = self._grid_gate(o, d)
+            if not ok:  # failed init counts as shadowed (grid.cpp:321-324)
+                return True
         for i, obj in enumerate(self.objs):
             if i == exclude:
                 continue

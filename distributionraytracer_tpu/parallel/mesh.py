@@ -143,19 +143,32 @@ _DISTRIBUTED = False
 
 def ensure_devices(n_devices: int) -> None:
     """Best-effort switch to n virtual CPU devices when the current backend
-    has fewer chips (single-chip dev boxes, CI).  Must run before arrays are
-    created; re-initializes the backend with
-    ``--xla_force_host_platform_device_count``."""
+    has fewer chips (single-chip dev boxes, CI).
+
+    Must run before ANY jax operation touches a backend: since jax 0.9 a
+    platform cannot be re-selected once initialized (``_clear_backends``
+    no longer re-reads platform/flag config), so if a different backend is
+    already live this raises with instructions instead of silently
+    benchmarking the wrong thing."""
     import os
-    if len(jax.devices()) >= n_devices:
-        return
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={n_devices}").strip()
+    import jax._src.xla_bridge as xb
+    if getattr(xb, "_backends", None):
+        # some backend already initialized: we can only accept or fail
+        if len(jax.devices()) >= n_devices:
+            return
+        raise RuntimeError(
+            f"need {n_devices} devices, have {jax.devices()}; a backend is "
+            "already initialized and cannot be re-selected — call "
+            "ensure_devices() (or set JAX_PLATFORMS=cpu and "
+            "jax_num_cpu_devices) before the first jax operation")
     os.environ["JAX_PLATFORMS"] = "cpu"
     jax.config.update("jax_platforms", "cpu")
-    import jax._src.xla_bridge as xb
-    xb._clear_backends()
+    try:
+        jax.config.update("jax_num_cpu_devices", n_devices)
+    except Exception:  # older jax: fall back to the XLA flag
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_devices}").strip()
     if len(jax.devices()) < n_devices:
         raise RuntimeError(
             f"need {n_devices} devices, have {jax.devices()}")
