@@ -64,6 +64,12 @@ TILE = SUBLANES * LANES  # rays per packet
 # first * MAX_LEAF + nobj < 2^24)
 MAX_LEAF = 128
 
+# Leaf size the packet tables are collapsed to (bvh.collapse_leaves).  The
+# kernel pays a scalar fetch per visited NODE but tests leaf objects with
+# full-tile VPU ops, so coarse leaves win until the extra primitive tests
+# outweigh the saved fetches (tuned on the 100k-tri dragon, see PARITY.md).
+PACKET_LEAF = 16
+
 
 class PallasBVH(NamedTuple):
     """Device tables for the packet kernel (pytree of two arrays).

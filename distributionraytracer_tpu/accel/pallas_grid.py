@@ -120,9 +120,12 @@ def emulation_bboxes(scene: SceneData, grid: GridArrays) -> np.ndarray:
 
 
 def pack_grid(scene: SceneData, grid: GridArrays) -> Optional[PallasGrid]:
-    """Host-side: SAH BVH over emulation AABBs, threaded + packed."""
+    """Host-side: SAH BVH over emulation AABBs, leaf-collapsed for the
+    packet kernel (see accel.bvh.collapse_leaves), threaded + packed."""
+    from distributionraytracer_tpu.accel.bvh import collapse_leaves
+    from distributionraytracer_tpu.accel.pallas_bvh import PACKET_LEAF
     q = emulation_bboxes(scene, grid)
-    tb = thread_bvh(build_bvh(scene, bboxes=q))
+    tb = collapse_leaves(thread_bvh(build_bvh(scene, bboxes=q)), PACKET_LEAF)
     tabs = pack_threaded(scene, tb)
     if tabs is None:
         return None

@@ -129,10 +129,18 @@ def build_accel(scene: SceneData, verbose: bool = False) -> AccelBuild:
                   f"ResY = {int(n[1])}, ResZ = {int(n[2])}")
     elif st.accel == ACCEL_BVH:
         # build + DFS-renumber host-side (all numpy), one device_put;
-        # traversal uses the threaded (stackless) tables
-        from distributionraytracer_tpu.accel.pallas_bvh import pack_threaded
+        # traversal uses the threaded (stackless) tables.  The packet
+        # kernel gets a leaf-collapsed twin of the tree: it is fetch-bound
+        # per visited node, so coarse leaves trade vectorized primitive
+        # tests for an order of magnitude fewer node fetches
+        # (bvh.collapse_leaves; winners identical).
+        from distributionraytracer_tpu.accel.bvh import collapse_leaves
+        from distributionraytracer_tpu.accel.pallas_bvh import (
+            PACKET_LEAF, pack_threaded,
+        )
         tb = thread_bvh(build_bvh(scene))
-        tabs = pack_threaded(scene, tb)  # None if not encodable
+        tabs = pack_threaded(
+            scene, collapse_leaves(tb, PACKET_LEAF))  # None if unencodable
         out.xla = jax.device_put(tb)
         out.pallas = jax.device_put(tabs) if tabs is not None else None
         if verbose:

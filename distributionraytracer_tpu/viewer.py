@@ -119,6 +119,10 @@ view.addEventListener('wheel', e => {        // mouseWheel (main.cpp:884-895)
 window.addEventListener('keydown', async e => {
   if (e.key === 'p') st.progressive = !st.progressive;
   else if (e.key === 'r') st = await (await fetch('/reset')).json();
+  else if (e.key === 's') {
+    const r = await (await fetch('/screenshot')).json();
+    console.log('saved ' + r.path);
+  }
   else if (e.key === 'c')
     console.log(`Camera Spherical (${st.r}, ${st.beta}, ${st.alpha})`);
 });
@@ -188,7 +192,21 @@ class ViewerState:
         else:
             img = np.asarray(self.renderer.render(key))
             n = max(self.renderer.cfg.spp, 1)
-        return to_u8(img), n
+        self.last_rgb = to_u8(img)  # current accumulator, for /screenshot
+        return self.last_rgb, n
+
+    def screenshot(self, path=None):
+        """Save the current accumulator as PNG (P3D_RT.html:2301 parity).
+
+        Returns (path, n_samples); raises RuntimeError before any frame."""
+        if getattr(self, "last_rgb", None) is None:
+            raise RuntimeError("no frame rendered yet")
+        if path is None:
+            import time as _t
+            path = f"viewer_screenshot_{int(_t.time())}.png"
+        with open(path, "wb") as f:
+            f.write(_png_bytes(self.last_rgb))
+        return path, float(self.prog_state[1]) if self.progressive else 1.0
 
 
 def _png_bytes(rgb_u8):
@@ -241,6 +259,19 @@ def make_server(scene, cfg, port: int = 8765):
                 self._send(_png_bytes(rgb), "image/png",
                            [("X-Samples", str(n)),
                             ("Cache-Control", "no-store")])
+            elif u.path == "/screenshot":
+                # save the current accumulator to disk, like the WebGL
+                # harness's screenshot button (P3D_RT.html:2301)
+                q = parse_qs(u.query)
+                path = q.get("path", [None])[0]
+                try:
+                    with state.lock:
+                        p, n = state.screenshot(path)
+                    self._send(json.dumps(
+                        {"path": p, "samples": n}).encode(),
+                        "application/json")
+                except RuntimeError as e:
+                    self.send_error(409, str(e))
             else:
                 self.send_error(404)
 

@@ -179,3 +179,58 @@ def test_cli_pathtrace_smoke(tmp_path):
     main(["pathtrace", "--scene", "3", "-o", out, "--res", "16", "16",
           "--spp", "2", "--bounces", "3"])
     assert os.path.exists(out)
+
+
+def test_create_random_scene_structure():
+    """Component 16 (scene.cpp:742-815): ground sphere + <=100 field
+    spheres (10x10 grid minus the big-sphere exclusion zone) + 3 big
+    spheres, 3 point lights, 800x600 fovy-40 camera, spp 0, accel NONE,
+    sky-blue background."""
+    from distributionraytracer_tpu.scene.procedural import (
+        create_random_scene,
+    )
+    scene = create_random_scene(seed=0)
+    st = scene.static
+    n = st.n_objects
+    assert all(t == 0 for t in st.obj_types)  # spheres only
+    assert 4 + 80 <= n <= 4 + 100  # ground + field (exclusion zone) + 3 big
+    assert st.n_lights == 3 and not any(st.light_quad)
+    assert (st.res_x, st.res_y) == (800, 600)
+    assert st.fovy == 40.0 and st.spp == 0 and st.accel == ACCEL_NONE
+    np.testing.assert_allclose(np.asarray(scene.bg_color), [0.5, 0.7, 1.0])
+    r = np.asarray(scene.sph_radius)
+    c = np.asarray(scene.sph_center)
+    assert r[0] == 1000.0 and c[0][1] == -1000.0  # ground
+    np.testing.assert_allclose(r[-3:], 1.0)  # three big spheres
+    field = r[1:-3]
+    np.testing.assert_allclose(field, 0.2)
+    np.testing.assert_allclose(c[1:-3, 1], 0.2)
+    # material classes present: diffuse (kd=1), metal (ks=1, shine 220),
+    # glass (T=1, ior 1.5)
+    kd = np.asarray(scene.mat_kd)
+    ks = np.asarray(scene.mat_ks)
+    T = np.asarray(scene.mat_T)
+    ior = np.asarray(scene.mat_ior)
+    assert (kd == 1.0).any() and (ks == 1.0).any()
+    assert ((T == 1.0) & (ior == 1.5)).any()
+    # deterministic under a fixed seed, different under another
+    scene2 = create_random_scene(seed=0)
+    np.testing.assert_array_equal(np.asarray(scene.sph_center),
+                                  np.asarray(scene2.sph_center))
+    scene3 = create_random_scene(seed=1)
+    assert (scene3.static.n_objects != n
+            or not np.array_equal(np.asarray(scene.sph_center),
+                                  np.asarray(scene3.sph_center)))
+
+
+def test_cli_render_random_smoke(tmp_path):
+    """CLI `render random` (main.cpp:996-1001 path) renders and writes."""
+    from distributionraytracer_tpu.cli import main
+    out = str(tmp_path / "rand.png")
+    main(["render", "random", "-o", out, "--res", "32", "24", "--spp", "1"])
+    from distributionraytracer_tpu.utils.image import read_png
+    img = read_png(out)
+    assert img.shape == (24, 32, 3)
+    # sky-blue background visible and scene structure present
+    assert img.std() > 0.05
+    assert img[..., 2].mean() > 0.3

@@ -58,3 +58,18 @@ def test_viewer_progressive_frames_and_reset(server):
     # batch (non-progressive) frame works too
     b4, _ = _get(server, "/frame?alpha=55&beta=20&r=3&progressive=0")
     assert b4[:4] == b"\x89PNG"
+
+
+def test_viewer_screenshot(server, tmp_path):
+    # before any frame in this ordering frames already rendered by the
+    # previous test; the endpoint saves the current accumulator
+    _get(server, "/frame?alpha=10&beta=20&r=3&progressive=1")
+    out = tmp_path / "shot.png"
+    body, _ = _get(server, f"/screenshot?path={out}")
+    meta = json.loads(body)
+    assert meta["path"] == str(out)
+    with open(out, "rb") as f:
+        assert f.read(4) == b"\x89PNG"
+    from distributionraytracer_tpu.utils.image import read_png
+    img = read_png(str(out))
+    assert img.shape == (24, 24, 3)
