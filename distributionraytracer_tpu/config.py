@@ -62,6 +62,12 @@ class RenderConfig:
     # (ops.intersect.soft_visibility).  Opt-in, training-time only: the
     # forward image softens within ~tau of shadow boundaries.
     soft_shadow: float = 0.0
+    # Primary-silhouette relaxation width (world units): > 0 blends each
+    # pixel with its "winner removed" counterfactual by the winner's smooth
+    # coverage (integrator.whitted.trace_whitted_soft), so expected
+    # gradients at hit-vs-miss silhouette edges match finite differences.
+    # Training-time opt-in, ~2x forward cost; brute-force path only.
+    soft_silhouette: float = 0.0
     max_samples: int = 10000
     shadow_mode: str = "reference"  # 'reference' | 'correct'
     tile_rays: int = 65536

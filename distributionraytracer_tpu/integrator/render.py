@@ -192,7 +192,13 @@ def render_from_samples(scene: SceneData, cfg: RenderConfig,
     nt = (n + pad) // tile
 
     def trace(args):
-        color, stats = trace_whitted(scene, cfg, *args, inter=inter)
+        if cfg.soft_silhouette > 0.0 and inter is None:
+            from distributionraytracer_tpu.integrator.whitted import (
+                trace_whitted_soft,
+            )
+            color, stats = trace_whitted_soft(scene, cfg, *args)
+        else:
+            color, stats = trace_whitted(scene, cfg, *args, inter=inter)
         return color, stats["rays_traced"] + stats["shadow_rays"]
 
     if nt == 1:

@@ -303,6 +303,7 @@ def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
     # ---------------- direct lighting (main.cpp:383-451) ----------------
     direct = np.zeros((Rn, 3), np.float32)
     last_light_pos = np.zeros((Rn, 3), np.float32)
+    pending = []  # deferred (contrib, sdir, sdist) for the batched query
     for j in range(st.n_lights):
         # quad lights sample pos + e1*sx + e2*sy (scene.h:103-106);
         # punctual lights use pos.  Quad-ness is static per scene.
@@ -343,8 +344,26 @@ def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
         else:
             sdir, sdist = _shadow_terms(scene, cfg, accel, hit_p, N,
                                         light_pos, inter)
-            occluded = inter.shadow(hit_p + N * OFFSET, sdir, sdist,
-                                    hit.obj_id, valid=hit_mask)
+            pending.append((contrib, sdir, sdist))
+
+    # all lights' occlusion queries in ONE intersector call: on the packet
+    # kernels each call is its own Mosaic dispatch, so an L-light scene
+    # paid L launches per tree level for the same total lane work
+    if pending:
+        sorg = hit_p + N * OFFSET
+        if len(pending) == 1:
+            occs = [inter.shadow(sorg, pending[0][1], pending[0][2],
+                                 hit.obj_id, valid=hit_mask)]
+        else:
+            L = len(pending)
+            occ_all = inter.shadow(
+                jnp.tile(sorg, (L, 1)),
+                jnp.concatenate([p[1] for p in pending]),
+                jnp.concatenate([p[2] for p in pending]),
+                jnp.tile(hit.obj_id, (L,)),
+                valid=jnp.tile(hit_mask, (L,)))
+            occs = list(occ_all.reshape(L, Rn))
+        for (contrib, _, _), occluded in zip(pending, occs):
             lit = hit_mask & ~occluded
             direct = direct + jnp.where(lit[..., None], contrib, 0.0)
 
@@ -419,3 +438,181 @@ def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
             "child_ls": last_light_pos,
         })
     return out
+
+
+# -------------------------------------------------- soft primary silhouettes
+def primary_coverage(scene: SceneData, o, d, time, hit: HitResult,
+                     tau: float, motion_blur: bool):
+    """Smooth coverage in [0,1] of each ray's winning primitive.
+
+    The counterpart of ops.intersect.soft_visibility for PRIMARY hits
+    (SURVEY §7 step 9's other discontinuity): hit-vs-miss of the closest
+    primitive is a step in geometry/camera parameters; its silhouette is
+    relaxed to a sigmoid of a signed world margin (sphere: r - closest
+    approach; triangle: distance to nearest edge; box: slab overlap).
+    Planes are silhouette-free; misses return 1.
+    """
+    from distributionraytracer_tpu.ops.intersect import triangle_edge_margin
+    from distributionraytracer_tpu.scene.types import (
+        OBJ_BOX, OBJ_SPHERE, OBJ_TRIANGLE,
+    )
+    st = scene.static
+    R = o.shape[0]
+    tidx_np = np.array(st.obj_tidx, np.int64)
+    tarr = (tidx_np if len(tidx_np) else np.zeros(1, np.int64)).astype(
+        np.int32)
+    sub = jnp.take(tarr, jnp.maximum(hit.obj_id, 0))
+    types_np = (np.array(st.obj_types, np.int32) if st.n_objects
+                else np.zeros(1, np.int32))
+    wtype = jnp.take(types_np, jnp.maximum(hit.obj_id, 0))
+    alpha = jnp.ones((R,), jnp.float32)
+
+    if st.n_spheres:
+        i = jnp.clip(sub, 0, st.n_spheres - 1)
+        c = scene.sph_center[i]
+        r = scene.sph_radius[i]
+        if motion_blur:
+            c = c + np.array([0.0, 1.0, 0.0], np.float32) * time[..., None]
+        oc = c - o
+        proj = dot(oc, d)
+        b = jnp.sqrt(jnp.maximum(dot(oc, oc) - proj * proj, 1e-12))
+        a_s = jax.nn.sigmoid((jnp.abs(r) - b) / tau)
+        alpha = jnp.where(wtype == OBJ_SPHERE, a_s, alpha)
+    if st.n_triangles:
+        i = jnp.clip(sub, 0, st.n_triangles - 1)
+        m, _t = triangle_edge_margin(o, d, scene.tri_v0[i],
+                                     scene.tri_e1[i], scene.tri_e2[i])
+        alpha = jnp.where(wtype == OBJ_TRIANGLE,
+                          jax.nn.sigmoid(m / tau), alpha)
+    if st.n_boxes:
+        i = jnp.clip(sub, 0, st.n_boxes - 1)
+        inv = 1.0 / d
+        ta = (scene.box_min[i] - o) * inv
+        tb = (scene.box_max[i] - o) * inv
+        tmin = jnp.max(jnp.minimum(ta, tb), axis=-1)
+        tmax = jnp.min(jnp.maximum(ta, tb), axis=-1)
+        alpha = jnp.where(wtype == OBJ_BOX,
+                          jax.nn.sigmoid((tmax - tmin) / tau), alpha)
+    return jnp.where(hit.hit, alpha, 1.0)
+
+
+def _near_sphere(scene: SceneData, o, d, time, motion_blur: bool):
+    """Per ray: the sphere with the smallest closest-approach distance
+    ``b`` among spheres in front of the origin — the silhouette candidate
+    for rays that do not already hit a sphere.  Returns None when the
+    scene has no spheres."""
+    st = scene.static
+    if not st.n_spheres:
+        return None
+    if motion_blur:
+        vel = np.array([0.0, 1.0, 0.0], np.float32)
+        c = scene.sph_center[None, :, :] + vel * time[:, None, None]
+    else:
+        c = jnp.broadcast_to(scene.sph_center[None, :, :],
+                             (o.shape[0],) + scene.sph_center.shape)
+    oc = c - o[:, None, :]
+    proj = jnp.einsum("rnk,rk->rn", oc, d)
+    b = jnp.sqrt(jnp.maximum(dot(oc, oc) - proj * proj, 1e-12))
+    valid = proj > 1e-3
+    bm = jnp.where(valid, b, np.float32(3.4e38))
+    j = jnp.argmin(bm, axis=1)
+    take = lambda m: jnp.take_along_axis(m, j[:, None], axis=1)[:, 0]
+    obj_types = np.array(st.obj_types, np.int64)
+    sph_gids = np.nonzero(obj_types == 0)[0].astype(np.int32)
+    return dict(
+        b=take(b), proj=take(proj), has=take(valid),
+        center=jnp.take_along_axis(c, j[:, None, None], axis=1)[:, 0],
+        radius=scene.sph_radius[j], gid=jnp.take(sph_gids, j),
+        mat=scene.sph_mat[j])
+
+
+def trace_whitted_soft(scene: SceneData, cfg: RenderConfig, o, d, time,
+                       light_sample):
+    """Silhouette-aware trace: per ray, pick a silhouette *candidate*
+    (the winning primitive, or — when the winner is a plane or a miss —
+    the nearest in-front sphere), and blend
+
+        c = alpha * c_with + (1 - alpha) * c_without
+
+    where ``alpha`` is the candidate's smooth coverage (primary_coverage /
+    the sphere sigmoid), ``c_with`` forces near-miss rays onto the
+    candidate sphere (shaded at the closest-approach point, whose limit at
+    the edge is the grazing hit), and ``c_without`` excludes the candidate.
+    Two-sided: the sigmoid ramp spans both sides of the silhouette, so
+    d(pixel)/d(geometry, camera) matches finite differences at
+    sphere hit-vs-miss edges (SURVEY §7 step 9's primary-discontinuity
+    half; shadow edges are ops.intersect.soft_visibility's job).  Away
+    from edges alpha saturates and c reduces to the hard image.
+
+    Training estimator: brute-force (differentiable) path, ~2x a hard
+    forward.  Winner-triangle/box silhouettes get the inside half of the
+    ramp only (their outside-forcing needs edge sampling — future work);
+    candidate selection and exclusion apply to the PRIMARY batch (child
+    rays trace the full scene).
+    """
+    cfg = cfg.replace(pallas="off")  # differentiable brute path only
+    R = o.shape[0]
+    h1 = closest_hit_brute(scene, o, d, time, cfg.motion_blur)
+    ns = _near_sphere(scene, o, d, time, cfg.motion_blur)
+    from distributionraytracer_tpu.scene.types import OBJ_PLANE
+    types_np = (np.array(scene.static.obj_types, np.int32)
+                if scene.static.n_objects else np.zeros(1, np.int32))
+    wtype = jnp.take(types_np, jnp.maximum(h1.obj_id, 0))
+    winner_solid = h1.hit & (wtype != OBJ_PLANE)
+
+    # candidate: solid winner, else nearest in-front sphere (closer than
+    # the winner, so a sphere behind a wall never bleeds through)
+    if ns is not None:
+        sph_ok = ns["has"] & (ns["proj"] < h1.t) & ~winner_solid
+    else:
+        sph_ok = np.zeros((R,), bool)
+    cand_gid = jnp.where(winner_solid, h1.obj_id,
+                         jnp.where(sph_ok, ns["gid"] if ns else -1, -1))
+    excl = jax.lax.stop_gradient(cand_gid)
+
+    # alpha: winner coverage on solid winners; sphere sigmoid on forced
+    # candidates; 1 where there is no candidate (c_with == c_without there)
+    alpha = primary_coverage(scene, o, d, time, h1,
+                             cfg.soft_silhouette, cfg.motion_blur)
+    if ns is not None:
+        a_f = jax.nn.sigmoid((jnp.abs(ns["radius"]) - ns["b"])
+                             / cfg.soft_silhouette)
+        alpha = jnp.where(sph_ok, a_f, jnp.where(winner_solid, alpha, 1.0))
+    else:
+        alpha = jnp.where(winner_solid, alpha, 1.0)
+
+    def closest_with(o2, d2, t2, valid=None):
+        h = closest_hit_brute(scene, o2, d2, t2, cfg.motion_blur)
+        if o2.shape[0] != R or ns is None:
+            return h
+        f = sph_ok  # force the candidate sphere as a grazing pseudo-hit
+        # nudge the pseudo-hit toward the camera: at the exact closest
+        # approach the normal is perpendicular to the ray and the shader's
+        # inside/outside test dot(d, N) < 0 becomes a float coin flip that
+        # discretely flips the shading; EPSILON earlier along the ray the
+        # classification is stably "outside" (matching the grazing-hit
+        # limit) and the color stays continuous across the silhouette
+        t_f = ns["proj"] - EPSILON
+        p = o2 + d2 * t_f[:, None]
+        n_f = safe_normalize(p - ns["center"])
+        return HitResult(
+            hit=h.hit | f, t=jnp.where(f, t_f, h.t),
+            normal=jnp.where(f[:, None], n_f, h.normal),
+            obj_id=jnp.where(f, ns["gid"], h.obj_id),
+            mat_id=jnp.where(f, ns["mat"], h.mat_id))
+
+    def shadow_plain(o2, d2, dist, exclude_obj, valid=None):
+        t0 = np.zeros(o2.shape[:-1], np.float32)
+        return any_hit_brute(scene, o2, d2, t0, dist, exclude_obj,
+                             cfg.motion_blur)
+
+    def closest_without(o2, d2, t2, valid=None):
+        ex = excl if o2.shape[0] == R else None
+        return closest_hit_brute(scene, o2, d2, t2, cfg.motion_blur,
+                                 exclude_obj=ex)
+
+    c1, stats = trace_whitted(scene, cfg, o, d, time, light_sample,
+                              inter=Intersectors(closest_with, shadow_plain))
+    c2, _ = trace_whitted(scene, cfg, o, d, time, light_sample,
+                          inter=Intersectors(closest_without, shadow_plain))
+    return alpha[:, None] * c1 + (1.0 - alpha[:, None]) * c2, stats

@@ -166,11 +166,17 @@ def _per_type_best(tmat, global_ids):
     return t, jnp.where(t < FLT_MAX, gid, -1)
 
 
-def closest_hit_brute(scene: SceneData, o, d, time, motion_blur: bool) -> HitResult:
+def closest_hit_brute(scene: SceneData, o, d, time, motion_blur: bool,
+                      exclude_obj=None) -> HitResult:
     """Linear scan over every object, returning the reference's winner.
 
     Cross-type ties resolve by smallest global object id, matching the
     insertion-order scan of main.cpp:315-326.
+
+    ``exclude_obj`` (optional (R,) i32): per-ray global object id to skip —
+    the counterfactual "scene without this pixel's winner" query that the
+    soft-silhouette gradient estimator blends against (whitted.
+    trace_whitted_soft); -1 skips nothing.
     """
     st = scene.static
     obj_types = np.array(st.obj_types, np.int64)
@@ -179,15 +185,24 @@ def closest_hit_brute(scene: SceneData, o, d, time, motion_blur: bool) -> HitRes
         for t in (OBJ_SPHERE, OBJ_TRIANGLE, OBJ_PLANE, OBJ_BOX)
     }
 
+    def excl(tmat, gid):
+        if exclude_obj is None or tmat.shape[1] == 0:
+            return tmat
+        return jnp.where(gid[None, :] == exclude_obj[:, None], FLT_MAX, tmat)
+
     cands = []  # (t, gid, type)
     t_s = sphere_t(o, d, time, scene.sph_center, scene.sph_radius, motion_blur)
-    cands.append(_per_type_best(t_s, gids[OBJ_SPHERE]) + (OBJ_SPHERE,))
+    cands.append(_per_type_best(excl(t_s, gids[OBJ_SPHERE]),
+                                gids[OBJ_SPHERE]) + (OBJ_SPHERE,))
     t_t = triangle_t(o, d, scene.tri_v0, scene.tri_e1, scene.tri_e2)
-    cands.append(_per_type_best(t_t, gids[OBJ_TRIANGLE]) + (OBJ_TRIANGLE,))
+    cands.append(_per_type_best(excl(t_t, gids[OBJ_TRIANGLE]),
+                                gids[OBJ_TRIANGLE]) + (OBJ_TRIANGLE,))
     t_p = plane_t(o, d, scene.pln_n, scene.pln_d)
-    cands.append(_per_type_best(t_p, gids[OBJ_PLANE]) + (OBJ_PLANE,))
+    cands.append(_per_type_best(excl(t_p, gids[OBJ_PLANE]),
+                                gids[OBJ_PLANE]) + (OBJ_PLANE,))
     t_b = box_t(o, d, scene.box_min, scene.box_max)
-    cands.append(_per_type_best(t_b, gids[OBJ_BOX]) + (OBJ_BOX,))
+    cands.append(_per_type_best(excl(t_b, gids[OBJ_BOX]),
+                                gids[OBJ_BOX]) + (OBJ_BOX,))
 
     best_t = np.full(o.shape[:-1], FLT_MAX)
     best_gid = np.full(o.shape[:-1], -1, np.int32)
@@ -282,14 +297,22 @@ def soft_visibility(scene: SceneData, o, d, time, max_dist, exclude_obj,
     occluders' parameters: its *expected* derivative at a shadow edge is a
     boundary term that pointwise autodiff through ``where``-selects never
     produces (the reference's shadow gating, main.cpp:383-451, has the same
-    discontinuity — it just never differentiates).  Relaxation: per sphere
-    occluder the ray's closest-approach distance ``b`` to the center is
-    smooth in everything, so occlusion becomes ``sigmoid((r - b)/tau)`` —
-    exact in the tau -> 0 limit, and the sigmoid's width transfers the
-    shadow boundary's Dirac into a finite ramp the autodiff sees.  Other
-    primitive types keep hard occlusion (planes have no silhouette;
-    triangle/box edge relaxation would need a margin metric — future
-    warped-area work).
+    discontinuity — it just never differentiates).  Relaxation: replace
+    each occluder's indicator with a sigmoid of a *signed world-space
+    margin* that is smooth in all parameters and crosses zero exactly at
+    the silhouette — exact in the tau -> 0 limit, and the sigmoid's width
+    transfers the shadow boundary's Dirac into a finite ramp autodiff sees:
+
+    - sphere: margin = r − b, with b the ray↔center closest-approach
+      distance;
+    - triangle: margin = min over the three edges of (barycentric
+      coordinate × its triangle height) at the ray↔plane intersection —
+      the world distance from the hit point to the nearest edge, negative
+      outside;
+    - box: margin = (t_exit − t_enter) of the slab test, negative on a
+      miss (t-units — proportional to world distance for the near-graze
+      directions that matter);
+    - plane: no silhouette — kept hard.
 
     Uses *correct* shadow semantics (normalized direction, true light
     distance) regardless of ``shadow_mode`` — this is a training estimator,
@@ -319,22 +342,62 @@ def soft_visibility(scene: SceneData, o, d, time, max_dist, exclude_obj,
         occ = jax.nn.sigmoid((radius[None, :] - b) / tau)
         vis = vis * jnp.prod(1.0 - jnp.where(gate, occ, 0.0), axis=1)
 
-    def fold_hard(tmat, type_const):
-        if tmat.shape[1] == 0:
-            return None
+    def fold_soft(margin, tmat, type_const):
+        """Fold smooth occlusion sigmoid(margin/tau) gated on the (smooth
+        enough) ray-parameter window into ``vis``."""
+        nonlocal vis
         gid = np.nonzero(obj_types == type_const)[0].astype(np.int32)
+        gate = (tmat < max_dist[:, None]) & (tmat > 1e-4)
+        gate &= gid[None, :] != exclude_obj[:, None]
+        occ = jax.nn.sigmoid(margin / tau)
+        vis = vis * jnp.prod(1.0 - jnp.where(gate, occ, 0.0), axis=1)
+
+    # --- triangles: signed world distance to the nearest edge at the
+    # ray/plane intersection (smooth in vertices, origin and direction)
+    if scene.tri_v0.shape[0]:
+        v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
+        n = jnp.cross(e1, e2)  # (T,3), length = 2*area
+        denom = jnp.einsum("rk,nk->rn", d, n)
+        safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        tpl = jnp.einsum("nk,rnk->rn", n, v0[None] - o[:, None, :]) / safe
+        p = o[:, None, :] + d[:, None, :] * tpl[..., None]  # (R,T,3)
+        rel = p - v0[None]
+        # barycentrics from the 2x2 metric (u along e1, v along e2)
+        d11 = dot(e1, e1)[None]
+        d22 = dot(e2, e2)[None]
+        d12 = dot(e1, e2)[None]
+        r1 = jnp.einsum("rnk,nk->rn", rel, e1)
+        r2 = jnp.einsum("rnk,nk->rn", rel, e2)
+        det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
+        u = (d22 * r1 - d12 * r2) / det
+        v = (d11 * r2 - d12 * r1) / det
+        w = 1.0 - u - v
+        area2 = jnp.linalg.norm(n, axis=-1)[None]  # 2*area
+        h_u = area2 / jnp.maximum(jnp.linalg.norm(e2, axis=-1), 1e-12)[None]
+        h_v = area2 / jnp.maximum(jnp.linalg.norm(e1, axis=-1), 1e-12)[None]
+        h_w = area2 / jnp.maximum(
+            jnp.linalg.norm(e2 - e1, axis=-1), 1e-12)[None]
+        margin = jnp.minimum(jnp.minimum(u * h_u, v * h_v), w * h_w)
+        fold_soft(margin, jnp.where(jnp.abs(denom) > 1e-12, tpl, FLT_MAX),
+                  OBJ_TRIANGLE)
+
+    # --- boxes: slab overlap t_exit - t_enter, negative on a miss
+    if scene.box_min.shape[0]:
+        bmin, bmax = scene.box_min, scene.box_max
+        inv = 1.0 / d  # (R,3); +-inf on zeros as in the hard path
+        ta = (bmin[None] - o[:, None, :]) * inv[:, None, :]
+        tb = (bmax[None] - o[:, None, :]) * inv[:, None, :]
+        tmin = jnp.max(jnp.minimum(ta, tb), axis=-1)
+        tmax = jnp.min(jnp.maximum(ta, tb), axis=-1)
+        fold_soft(tmax - tmin, tmin, OBJ_BOX)
+
+    # --- planes: infinite, no silhouette -> hard occlusion
+    tmat = plane_t(o, d, scene.pln_n, scene.pln_d)
+    if tmat.shape[1]:
+        gid = np.nonzero(obj_types == OBJ_PLANE)[0].astype(np.int32)
         ok = (tmat < max_dist[:, None]) & (tmat > 1e-4)
         ok &= gid[None, :] != exclude_obj[:, None]
-        return jnp.any(ok, axis=1)
-
-    for tmat, tc in (
-            (triangle_t(o, d, scene.tri_v0, scene.tri_e1, scene.tri_e2),
-             OBJ_TRIANGLE),
-            (plane_t(o, d, scene.pln_n, scene.pln_d), OBJ_PLANE),
-            (box_t(o, d, scene.box_min, scene.box_max), OBJ_BOX)):
-        h = fold_hard(tmat, tc)
-        if h is not None:
-            vis = vis * (1.0 - h.astype(jnp.float32))
+        vis = vis * (1.0 - jnp.any(ok, axis=1).astype(jnp.float32))
     return vis
 
 
@@ -427,3 +490,32 @@ def aabb_entry_t(o, d, bmin, bmax):
     t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
     t = jnp.where(t0 < 0, t1, t0)
     return (t0 < t1) & (t1 > 0), t
+
+
+def triangle_edge_margin(o, d, v0, e1, e2):
+    """Signed world distance from the ray/plane intersection point to the
+    nearest edge of a per-ray triangle (positive inside, negative outside).
+
+    Inputs are (R,3) — one triangle per ray (gathered winner params).
+    Smooth in all inputs away from degenerate triangles; the zero crossing
+    is exactly the triangle silhouette as seen along the ray.  Returns
+    (margin (R,), t (R,)) with ``t`` the ray/plane parameter.
+    """
+    n = jnp.cross(e1, e2)  # length = 2*area
+    denom = dot(d, n)
+    safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    t = dot(n, v0 - o) / safe
+    p = o + d * t[..., None]
+    rel = p - v0
+    d11, d22, d12 = dot(e1, e1), dot(e2, e2), dot(e1, e2)
+    r1, r2 = dot(rel, e1), dot(rel, e2)
+    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
+    u = (d22 * r1 - d12 * r2) / det
+    v = (d11 * r2 - d12 * r1) / det
+    w = 1.0 - u - v
+    a2 = jnp.linalg.norm(n, axis=-1)
+    h_u = a2 / jnp.maximum(jnp.linalg.norm(e2, axis=-1), 1e-12)
+    h_v = a2 / jnp.maximum(jnp.linalg.norm(e1, axis=-1), 1e-12)
+    h_w = a2 / jnp.maximum(jnp.linalg.norm(e2 - e1, axis=-1), 1e-12)
+    margin = jnp.minimum(jnp.minimum(u * h_u, v * h_v), w * h_w)
+    return margin, t

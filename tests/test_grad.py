@@ -163,3 +163,118 @@ def test_grad_through_quad_light_and_skybox(scenes_dir):
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def _fd_check(loss, param, g, picks=2, eps=1e-3, rtol=0.05):
+    """Central finite differences vs autodiff at the largest |grad| dims."""
+    f = jax.jit(loss)
+    flat = np.asarray(param, np.float64).ravel()
+    order = np.argsort(-np.abs(g.ravel()))[:picks]
+    for i in order:
+        e = np.zeros_like(flat)
+        e[i] = eps
+        fp = float(f(jnp.asarray((flat + e).reshape(g.shape), jnp.float32)))
+        fm = float(f(jnp.asarray((flat - e).reshape(g.shape), jnp.float32)))
+        fd = (fp - fm) / (2 * eps)
+        ad = g.ravel()[i]
+        assert abs(fd - ad) <= rtol * max(abs(fd), abs(ad)) + 1e-4, (
+            i, fd, ad)
+
+
+def test_soft_shadow_grad_matches_fd_at_triangle_edge():
+    """Discontinuity-aware shadow gradients for TRIANGLE occluders
+    (VERDICT r2 item 5): sigmoid on the signed edge-distance margin makes
+    autodiff match FD at a triangle shadow edge, where the hard path's
+    gradient is zero.
+
+    Construction mirrors the sphere test: overhead camera sees only floor;
+    a triangle at y=1 casts a shadow edge crossing the loss window."""
+    from distributionraytracer_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    b.set_camera([0.6, 8.0, 1e-3], [0.6, -1.0, 0.0], [0, 0, 1],
+                 8.0, 0.01, 32, 32, 0, 1)
+    floor = b.add_material([0.7, 0.7, 0.7], 0.9, [0, 0, 0], 0.0, 10, 0, 1)
+    b.add_plane_hessian([0, 1, 0], 1.0, floor)
+    occ = b.add_material([0.8, 0.2, 0.2], 0.9, [0, 0, 0], 0.0, 10, 0, 1)
+    # triangle hovering at y=1, +x vertex at x=0.45: its shadow edge from
+    # the (0,5,0) light lands at floor x ~ 0.675 — inside the loss window
+    # below — while the triangle itself (x <= 0.45) stays outside it, so
+    # no (hard) primary silhouette pollutes the FD
+    b.add_triangle([-0.6, 1.0, -2.0], [0.45, 1.0, 0.0], [-0.6, 1.0, 2.0],
+                   occ)
+    b.add_point_light([0.0, 5.0, 0.0], [1, 1, 1])
+    scene = b.build().device_put()
+
+    cfg = RenderConfig(spp=1, soft_shadow=0.05)
+    samples = make_samples(scene, cfg, jax.random.PRNGKey(0))
+
+    def loss(v0):
+        s = dataclasses.replace(scene, tri_v0=v0)
+        img = render_from_samples(s, cfg, samples)
+        # camera u = up x n = -x: cols 0..18 cover floor x in [1.23, 0.48]
+        # (shadow edge ~0.675 included, triangle x <= 0.45 excluded)
+        return jnp.mean(img[:, :19])
+
+    g = np.asarray(jax.jit(jax.grad(loss))(scene.tri_v0))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 1e-3, g
+    _fd_check(loss, scene.tri_v0, g)
+
+
+def test_soft_silhouette_grad_matches_fd_at_sphere_edge():
+    """Primary-silhouette gradients (VERDICT r2 item 5, second half): with
+    soft_silhouette > 0 the pixel blends smoothly across the sphere's
+    hit-vs-miss boundary, so d(image)/d(center) matches FD at the
+    silhouette — the hard renderer's gradient there is zero."""
+    from distributionraytracer_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    # camera looking straight at a floating sphere against the background;
+    # the loss window spans the silhouette edge
+    b.set_camera([0.0, 0.0, 6.0], [0.0, 0.0, 0.0], [0, 1, 0],
+                 20.0, 0.01, 32, 32, 0, 1)
+    m = b.add_material([0.8, 0.3, 0.2], 0.9, [0, 0, 0], 0.0, 10, 0, 1)
+    b.add_sphere([0.0, 0.0, 0.0], 0.8, m)
+    b.add_point_light([3.0, 4.0, 6.0], [1, 1, 1])
+    b.bg_color = np.array([0.1, 0.1, 0.6], np.float32)
+    scene = b.build().device_put()
+
+    cfg = RenderConfig(spp=1, soft_silhouette=0.03)
+    samples = make_samples(scene, cfg, jax.random.PRNGKey(0))
+
+    def loss(c):
+        s = dataclasses.replace(scene, sph_center=c)
+        img = render_from_samples(s, cfg, samples)
+        return jnp.mean(img)
+
+    g = np.asarray(jax.jit(jax.grad(loss))(scene.sph_center))
+    assert np.isfinite(g).all()
+    # moving the sphere toward/away from the camera or sideways changes
+    # covered-pixel count -> nonzero gradient through the silhouette ramp
+    assert np.abs(g).max() > 1e-3, g
+    _fd_check(loss, scene.sph_center, g)
+
+    # hard renderer: silhouette gradient is (near) zero — the thing the
+    # relaxation exists to fix
+    def hard_loss(c):
+        s = dataclasses.replace(scene, sph_center=c)
+        img = render_from_samples(s, cfg.replace(soft_silhouette=0.0),
+                                  samples)
+        return jnp.mean(img)
+
+    gh = np.asarray(jax.jit(jax.grad(hard_loss))(scene.sph_center))
+    # the hard pointwise gradient lacks the silhouette boundary term the
+    # FD (and the soft AD) contain — it is off by an order of magnitude,
+    # which is exactly the wrongness the relaxation exists to fix
+    assert np.abs(gh - g).max() > 10 * np.abs(g[..., 0]).max()
+
+
+def test_soft_silhouette_off_is_reference():
+    """soft_silhouette=0 leaves the reference path bit-identical."""
+    scene = small_scene().device_put()
+    cfg = RenderConfig(spp=1)
+    samples = make_samples(scene, cfg, jax.random.PRNGKey(1))
+    a = render_from_samples(scene, cfg, samples)
+    b = render_from_samples(scene, cfg.replace(soft_silhouette=0.0), samples)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
