@@ -430,11 +430,15 @@ def _tile_grid(R):
     return rows, rows // SUBLANES
 
 
-def _run(tabs: PallasBVH, kernel, rays, n_out, interpret):
-    """Dispatch a packet kernel over the ray batch."""
-    R = rays[0].shape[0]
-    rows, grid = _tile_grid(R)
-    tiled = [_pad_tiles(x, rows) for x in rays]
+# rays per device dispatch: every pallas_call in a program shares this
+# batch shape, so the Whitted tree's growing level batches (R, 2R ... 16R)
+# lower to ONE Mosaic kernel instance per (kernel, table-shape) instead of
+# one per level — the dominant share of the 3-minute first-render compiles
+# (VERDICT r2 item 3).  64 packets amortize dispatch fine.
+CHUNK_RAYS = 64 * TILE
+
+
+def _dispatch(tabs: PallasBVH, kernel, tiled, n_out, interpret, rows):
     tile_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     tab_specs = [
@@ -444,14 +448,33 @@ def _run(tabs: PallasBVH, kernel, rays, n_out, interpret):
                      memory_space=pltpu.VMEM),
     ]
     fshape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(rows // SUBLANES,),
         in_specs=tab_specs + [tile_spec] * 8,
         out_specs=[tile_spec] * n_out,
         out_shape=[fshape] * n_out,
         interpret=interpret,
     )(tabs.node_tab, tabs.obj_tab, *tiled)
+
+
+def _run(tabs: PallasBVH, kernel, rays, n_out, interpret):
+    """Dispatch a packet kernel over the ray batch in CHUNK_RAYS chunks."""
+    R = rays[0].shape[0]
+    if R <= CHUNK_RAYS:
+        rows, _ = _tile_grid(R)
+        tiled = [_pad_tiles(x, rows) for x in rays]
+        outs = _dispatch(tabs, kernel, tiled, n_out, interpret, rows)
+    else:
+        rows = CHUNK_RAYS // LANES
+        pad = (-R) % CHUNK_RAYS
+        nc = (R + pad) // CHUNK_RAYS
+        tiled = [_pad_tiles(x, nc * rows).reshape(nc, rows, LANES)
+                 for x in rays]
+        outs = jax.lax.map(
+            lambda args: _dispatch(tabs, kernel, args, n_out, interpret,
+                                   rows),
+            tuple(tiled))
     flat = lambda a: a.reshape(-1)[:R]
     return [flat(a) for a in outs]
 
