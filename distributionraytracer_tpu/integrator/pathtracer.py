@@ -354,14 +354,20 @@ def _direct_common(m, N, light_dir, view_for_ggx, diff_view, light_color):
     return jnp.where(lit[..., None], out, 0.0)
 
 
-def direct_point(scene: PTScene, lpos, lcolor, r_d, hit: PTHit, m, time):
-    """directlighting(pointLight) with hard shadow (P3D_RT.glsl:525-578)."""
+def direct_point(scene: PTScene, lpos, lcolor, r_d, hit: PTHit, m, time,
+                 occl=None):
+    """directlighting(pointLight) with hard shadow (P3D_RT.glsl:525-578).
+
+    ``occl``: occlusion query (defaults to the jnp ``any_hit``; ray_color
+    passes the Pallas megakernel on TPU)."""
     N = safe_normalize(hit.normal)
     ldir_un = lpos - hit.pos
     dist = jnp.linalg.norm(ldir_un, axis=-1)
     ldir = safe_normalize(ldir_un)
-    shadowed = any_hit(scene, hit.pos + N * 1e-3, ldir, time,
-                       1e-3, dist - 1e-3)
+    if occl is None:
+        occl = lambda o, d, t, tmin, tmax: any_hit(scene, o, d, t,
+                                                   tmin, tmax)
+    shadowed = occl(hit.pos + N * 1e-3, ldir, time, 1e-3, dist - 1e-3)
     # viewDir = normalize(r.d); GGX gets -viewDir; Blinn H uses -viewDir too
     view = -normalize(r_d)
     out = _direct_common(m, N, ldir, view, view, lcolor)
@@ -492,18 +498,39 @@ def scatter(scene: PTScene, r_o, r_d, hit: PTHit, m, u_choice, u3a, u3b):
 
 
 # ------------------------------------------------------------------ rayColor
+def _use_pallas_pt(scene, cfg) -> bool:
+    """Megakernel scene queries (ops.pallas_pt) on TPU backends; forced
+    with cfg.pallas='on' (interpret mode off-TPU); jnp when 'off'."""
+    from distributionraytracer_tpu.ops import pallas_pt
+    if cfg.pallas == "off" or not pallas_pt.pt_supported(scene):
+        return False
+    return cfg.pallas == "on" or jax.default_backend() != "cpu"
+
+
 def ray_color(scene: PTScene, cfg: RenderConfig, o, d, time, key):
     """Trace a batch of camera rays to radiance (P3D_RT.glsl:583-676)."""
     R = o.shape[0]
     n_pl = scene.plight_pos.shape[0]
     n_ql = scene.qlight_pos.shape[0]
 
+    if _use_pallas_pt(scene, cfg):
+        from distributionraytracer_tpu.ops import pallas_pt
+        interp = jax.default_backend() == "cpu"
+        closest_q = lambda o2, d2, t2: pallas_pt.pt_closest(
+            scene, o2, d2, t2, interpret=interp)
+        occl_q = lambda o2, d2, t2, tmin, tmax: pallas_pt.pt_any_hit(
+            scene, o2, d2, t2, tmax, interpret=interp)
+    else:
+        closest_q = lambda o2, d2, t2: hit_world(scene, o2, d2, t2)
+        occl_q = lambda o2, d2, t2, tmin, tmax: any_hit(
+            scene, o2, d2, t2, tmin, tmax)
+
     def body(carry, k):
         # scattered rays are built with the 2-arg createRay -> time = 0
         # (common.glsl:43-46, 310/320/362/368): only camera rays see motion
         o, d, col, thr, alive, t_ray = carry
         ks = jax.random.split(k, 4)
-        hit = hit_world(scene, o, d, t_ray)
+        hit = closest_q(o, d, t_ray)
         m = _mat_gather(scene, hit.mat, hit.pos)
 
         live_hit = alive & hit.hit
@@ -516,7 +543,8 @@ def ray_color(scene: PTScene, cfg: RenderConfig, o, d, time, key):
         zero_t = jnp.zeros_like(t_ray)  # shadow rays: time = 0
         for j in range(n_pl):
             dl = dl + direct_point(scene, scene.plight_pos[j],
-                                   scene.plight_color[j], d, hit, m, zero_t)
+                                   scene.plight_color[j], d, hit, m, zero_t,
+                                   occl=occl_q)
         uq = jax.random.uniform(ks[0], (R, 2 * max(n_ql, 1)))
         for j in range(n_ql):
             dl = dl + direct_quad(scene, j, d, hit, m,

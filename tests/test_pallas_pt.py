@@ -1,0 +1,62 @@
+"""Path-tracer Pallas megakernel vs the jnp hit_world/any_hit (interpret
+mode on CPU — ops/pallas_pt.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from distributionraytracer_tpu.config import RenderConfig
+from distributionraytracer_tpu.integrator import pathtracer as PT
+from distributionraytracer_tpu.ops import pallas_pt as PK
+from distributionraytracer_tpu.scene import pt_scenes as PS
+
+
+def _rays(seed, R=3000):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.normal(0, 5, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    tm = jnp.asarray(rng.uniform(0, 1, R).astype(np.float32))
+    dist = jnp.asarray(rng.uniform(0.5, 20, R).astype(np.float32))
+    return o, d, tm, dist
+
+
+@pytest.mark.parametrize("si", [0, 3])
+def test_pt_kernel_matches_jnp(si):
+    sc = jax.device_put(PS.SCENE_BUILDERS[si]())
+    o, d, tm, dist = _rays(si)
+    hj = PT.hit_world(sc, o, d, tm)
+    hk = PK.pt_closest(sc, o, d, tm, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hj.hit), np.asarray(hk.hit))
+    hit = np.asarray(hj.hit)
+    tj, tk = np.asarray(hj.t)[hit], np.asarray(hk.t)[hit]
+    np.testing.assert_allclose(tj, tk, rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(hj.mat)[hit],
+                                  np.asarray(hk.mat)[hit])
+    # normals agree to float rounding (t rounding shifts the hit point)
+    nj = np.asarray(hj.normal)[hit]
+    nk = np.asarray(hk.normal)[hit]
+    assert (np.abs(nj - nk).max(-1) > 1e-3).mean() < 0.005
+
+    aj = PT.any_hit(sc, o, d, tm, 1e-3, dist)
+    ak = PK.pt_any_hit(sc, o, d, tm, dist, interpret=True)
+    np.testing.assert_array_equal(np.asarray(aj), np.asarray(ak))
+
+
+def test_render_pt_kernel_backend_statistics():
+    """Full render through the kernel path (pallas='on', interpret) agrees
+    with the jnp path: identical RNG stream, so images match to float
+    noise except at chaos-amplified silhouette pixels."""
+    sc = jax.device_put(PS.scene3())
+    kw = dict(eye=jnp.array([0.0, -3.0, -4.0]),
+              at=jnp.array([0.0, -3.0, 10.0]), spp=4)
+    a = np.asarray(PT.render_pt(sc, RenderConfig(max_bounces=4,
+                                                 pallas="off"),
+                                16, 16, key=jax.random.PRNGKey(5), **kw))
+    b = np.asarray(PT.render_pt(sc, RenderConfig(max_bounces=4,
+                                                 pallas="on"),
+                                16, 16, key=jax.random.PRNGKey(5), **kw))
+    assert np.isfinite(b).all()
+    assert (np.abs(a - b) > 1e-3).mean() < 0.05
+    assert abs(a.mean() - b.mean()) < 5e-3
