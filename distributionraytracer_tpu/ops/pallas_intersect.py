@@ -239,14 +239,18 @@ def _anyhit_kernel(obj_types, motion_blur,
     ex = excl[:]
     time = jnp.zeros_like(max_d)
 
+    # occlusion carried as f32 0/1: Mosaic cannot yield i1 vectors from
+    # fori_loop bodies (scenes with >= LOOP_MIN same-type objects lower
+    # their runs to fori — e.g. the 100-sphere random scene)
     def update(occluded, gid, t, _n):
         # main.cpp:432-440: t in (1e-4, dist), skipping the shaded object
         gid = jnp.asarray(gid, jnp.int32)
-        return occluded | ((t < max_d) & (t > 1e-4) & (ex != gid))
+        hit = (t < max_d) & (t > 1e-4) & (ex != gid)
+        return jnp.maximum(occluded, hit.astype(jnp.float32))
 
     occluded = _fold_objects(obj_types, motion_blur, data_ref, o, d, time,
-                             update, jnp.zeros(max_d.shape, jnp.bool_))
-    occ_out[:] = occluded.astype(jnp.int32)
+                             update, jnp.zeros(max_d.shape, jnp.float32))
+    occ_out[:] = (occluded > 0.0).astype(jnp.int32)
 
 
 def _pad_view(a, rows):

@@ -238,12 +238,14 @@ def _anyhit_kernel(types, data_ref, mats_ref,
     time = tmr[:]
     max_d = dist[:]
 
+    # occlusion carried as f32 0/1: Mosaic cannot yield i1 vectors from
+    # fori_loop bodies (long same-type runs lower to fori)
     def update(occ, gid, t, _n):
-        return occ | (t < max_d)  # hit_world: strict < against tmax
+        return jnp.maximum(occ, (t < max_d).astype(jnp.float32))
 
     occ = _fold(types, data_ref, o, d, time, update,
-                jnp.zeros(max_d.shape, jnp.bool_))
-    occ_out[:] = occ.astype(jnp.int32)
+                jnp.zeros(max_d.shape, jnp.float32))
+    occ_out[:] = (occ > 0.0).astype(jnp.int32)
 
 
 def _pad_view(a, rows):
