@@ -268,13 +268,17 @@ def measure_pt(res_x=800, res_y=600, spp=64, chunk=32, repeats=1):
     from distributionraytracer_tpu.integrator.pathtracer import render_pt
     from distributionraytracer_tpu.scene.pt_scenes import scene0
 
+    import jax.numpy as jnp
     sc = jax.device_put(scene0())
     cfg = RenderConfig()
     nchunks = spp // chunk
-    # warmup/compile
+    # warmup/compile; the float() readback is load-bearing: on the remote
+    # (axon) platform block_until_ready returns at *enqueue* until the
+    # first device->host transfer flips the stream into synchronous mode —
+    # without it every timing below would measure dispatch, not compute
     img = render_pt(sc, cfg, res_x, res_y, key=jax.random.PRNGKey(99),
                     spp=chunk)
-    jax.block_until_ready(img)
+    float(jnp.sum(img))
 
     times = []
     for rep in range(repeats):
@@ -286,7 +290,7 @@ def measure_pt(res_x=800, res_y=600, spp=64, chunk=32, repeats=1):
                             spp=chunk)
             acc = img if acc is None else acc + img
         acc = acc / nchunks
-        jax.block_until_ready(acc)
+        float(jnp.sum(acc))  # sync: wait for the device, not the enqueue
         times.append(time.perf_counter() - t0)
     dt = min(times)
     n_samples = res_x * res_y * spp

@@ -68,6 +68,16 @@ class RenderConfig:
     # gradients at hit-vs-miss silhouette edges match finite differences.
     # Training-time opt-in, ~2x forward cost; brute-force path only.
     soft_silhouette: float = 0.0
+    # Live-lane compaction for accel-traversal queries: stable-partition
+    # every masked closest/shadow query so live lanes come first and
+    # all-dead packets exit their traversal immediately
+    # (integrator.whitted.compacting_intersectors).  Output-identical, but
+    # OFF by default: the partition costs ~14 R-lane XLA gathers per query,
+    # and on TPU those lower to near-serial loops — measured on
+    # dragon_assignment1 512x512 (glass dragon, most deep-tree lanes live):
+    # 2.08 s -> 2.82 s/frame.  Worth enabling only for scenes whose deep
+    # levels are mostly dead (low specular/transmissive coverage).
+    compact_lanes: bool = False
     max_samples: int = 10000
     shadow_mode: str = "reference"  # 'reference' | 'correct'
     tile_rays: int = 65536

@@ -159,6 +159,67 @@ def differentiable_intersectors(scene: SceneData, cfg: RenderConfig,
     return Intersectors(closest, shadow)
 
 
+def _live_partition(valid):
+    """Stable-partition permutation putting live lanes first.
+
+    Returns ``(perm, pos)`` with ``sorted[j] = x[perm[j]]`` and
+    ``x[i] = sorted[pos[i]]``.  The partition is stable (cumsum-based), so
+    live lanes keep their relative — block-permuted, packet-coherent —
+    order.  Why: the Pallas packet kernels walk the *union* of a packet's
+    live lanes' node sets, and a packet with zero live lanes exits its
+    traversal loop immediately (pallas_bvh.py ``node0``); deep Whitted tree
+    levels are mostly dead lanes scattered across packets, which makes
+    every packet pay a full walk.  Partitioning concentrates the dead lanes
+    into all-dead packets whose traversal is free, so kernel work scales
+    with *live* lanes instead of tree slots.
+    """
+    livef = valid.astype(jnp.int32)
+    nlive = jnp.sum(livef)
+    csum = jnp.cumsum(livef)
+    pos = jnp.where(valid, csum - 1,
+                    nlive + jnp.cumsum(1 - livef) - 1).astype(jnp.int32)
+    R = valid.shape[0]
+    perm = jnp.zeros((R,), jnp.int32).at[pos].set(
+        jnp.arange(R, dtype=jnp.int32))
+    return perm, pos
+
+
+def compacting_intersectors(inter: Intersectors) -> Intersectors:
+    """Wrap an Intersectors so every masked query runs live-lanes-first.
+
+    Output-equivalent to ``inter`` (results are gathered back to the
+    original lane order; the kernels are lane-order independent).  Worth it
+    only for traversal-style implementations whose all-dead packets cost
+    nothing — the Whitted tree's deep levels then cost O(live rays), not
+    O(tree slots) (see ``_live_partition``).
+    """
+
+    def _static_full(valid):
+        # trace-time constant all-live mask (e.g. the primary level):
+        # partition would be the identity — skip its gathers
+        return isinstance(valid, np.ndarray) and bool(np.all(valid))
+
+    def closest(o, d, time, valid=None):
+        if valid is None or _static_full(valid):
+            return inter.closest(o, d, time, valid=valid)
+        perm, pos = _live_partition(valid)
+        g = lambda a: jnp.asarray(a)[perm]  # inputs may be host numpy
+        h = inter.closest(g(o), g(d), g(time), valid=g(valid))
+        return HitResult(hit=h.hit[pos], t=h.t[pos], normal=h.normal[pos],
+                         obj_id=h.obj_id[pos], mat_id=h.mat_id[pos])
+
+    def shadow(o, d, dist, exclude_obj, valid=None):
+        if valid is None or _static_full(valid):
+            return inter.shadow(o, d, dist, exclude_obj, valid=valid)
+        perm, pos = _live_partition(valid)
+        g = lambda a: jnp.asarray(a)[perm]  # inputs may be host numpy
+        occ = inter.shadow(g(o), g(d), g(dist), g(exclude_obj),
+                           valid=g(valid))
+        return occ[pos]
+
+    return Intersectors(closest, shadow)
+
+
 def _shadow_terms(scene, cfg, accel, hit_p, N, light_pos, inter):
     """One light's occlusion test with the reference's per-accel quirks."""
     from distributionraytracer_tpu.ops.common import safe_normalize as _sn
@@ -189,6 +250,8 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
     """
     if inter is None:
         inter = brute_intersectors(scene, cfg)
+    elif cfg.compact_lanes:
+        inter = compacting_intersectors(inter)
     st = scene.static
     R = o.shape[0]
 
@@ -291,14 +354,38 @@ def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
     V = -normalize(d)
 
     m = hit.mat_id
-    cd = scene.mat_cd[m]
-    cs = scene.mat_cs[m]
-    kd = scene.mat_kd[m]
-    ks = scene.mat_ks[m]
-    kr = scene.mat_kr[m]
-    shine = scene.mat_shine[m]
-    trans = scene.mat_T[m]
-    mat_ior = scene.mat_ior[m]
+    M = st.n_materials
+    if 1 <= M <= 64:
+        # Material fetch as a one-hot matmul instead of 8 row gathers: XLA
+        # lowers per-lane gathers on TPU to near-serial loops, and at
+        # R x tree-nodes lanes they dominate brute-scene shading.  The
+        # compare+matmul runs on VPU/MXU at full width; it is linear in the
+        # table, so material gradients flow exactly as through the gathers
+        # (transpose = the same scatter-add).  Miss lanes (m == -1) read
+        # material 0 — every consumer is already gated by hit_mask.
+        tab = jnp.concatenate(
+            [scene.mat_cd, scene.mat_cs,
+             jnp.stack([scene.mat_kd, scene.mat_ks, scene.mat_kr,
+                        scene.mat_shine, scene.mat_T, scene.mat_ior],
+                       axis=1)], axis=1)  # (M, 12)
+        oh = (jnp.maximum(m, 0)[:, None]
+              == np.arange(M, dtype=np.int32)).astype(jnp.float32)
+        # HIGHEST precision: the default TPU matmul rounds operands to
+        # bf16, which would corrupt the exact material values the one-hot
+        # selects (each output is a single f32 row, no accumulation)
+        vals = jnp.matmul(oh, tab, precision=jax.lax.Precision.HIGHEST)
+        cd, cs = vals[:, 0:3], vals[:, 3:6]
+        kd, ks, kr = vals[:, 6], vals[:, 7], vals[:, 8]
+        shine, trans, mat_ior = vals[:, 9], vals[:, 10], vals[:, 11]
+    else:
+        cd = scene.mat_cd[m]
+        cs = scene.mat_cs[m]
+        kd = scene.mat_kd[m]
+        ks = scene.mat_ks[m]
+        kr = scene.mat_kr[m]
+        shine = scene.mat_shine[m]
+        trans = scene.mat_T[m]
+        mat_ior = scene.mat_ior[m]
 
     # ---------------- direct lighting (main.cpp:383-451) ----------------
     direct = np.zeros((Rn, 3), np.float32)
