@@ -282,7 +282,17 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
     for level in range(levels):
         depth = level + 1
         n = node_o.shape[1]
-        flat = lambda a: a.reshape((R * n,) + a.shape[2:])
+        # node-major flattening: lanes run rays-within-node, not
+        # nodes-within-ray.  A (8,128) traversal packet then holds 1024
+        # *same-tree-path* rays from neighboring pixels (block-permuted),
+        # instead of 1024/n rays x n unrelated nodes — ray-major packets
+        # mix refraction chains with reflection chains and their node-set
+        # union explodes (measured 19x between coherent and shuffled
+        # packets on the 100k-tri dragon).  Pure relabeling: results are
+        # gathered back below, winners are lane-local.
+        flat = lambda a: jnp.swapaxes(a, 0, 1).reshape(
+            (R * n,) + a.shape[2:]) if n > 1 else a.reshape(
+            (R,) + a.shape[2:])
         hit: HitResult = inter.closest(flat(node_o), flat(node_d),
                                        flat(node_t), valid=flat(node_valid))
         res = _shade_node(
@@ -290,7 +300,8 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
             flat(node_o), flat(node_d), flat(node_t), flat(node_ior),
             flat(node_ls), flat(node_valid), hit,
             spawn_children=(depth <= cfg.max_depth and branching > 0))
-        unflat = lambda a: a.reshape((R, n) + a.shape[1:])
+        unflat = lambda a: jnp.swapaxes(
+            a.reshape((n, R) + a.shape[1:]), 0, 1)
         lvl.append({k: unflat(v) for k, v in res.items()})
         rays_traced += jnp.sum(flat(node_valid).astype(jnp.float32))
         shadow_rays += st.n_lights * jnp.sum(
