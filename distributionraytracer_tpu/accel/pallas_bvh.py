@@ -416,6 +416,15 @@ def _make_kernel(types_present, motion_blur, is_shadow, npad, n_obj_pad,
     return kernel
 
 
+# Measured dead end (kept as a note, code removed): a per-sublane-row
+# variant gave each (1, 128) row its own node cursor to overlap the 8
+# scalar fetch->test->advance chains and shrink per-walk unions.  On the
+# 100k-tri dragon it lost both ways — coherent primaries 65 -> 120 ms
+# (leaf tests run per row instead of per packet), shuffled rays
+# 1252 -> 1560 ms (no measurable latency overlap from Mosaic) — so the
+# single-cursor packet walk above stays.
+
+
 def _pad_tiles(a, rows):
     R = a.shape[0]
     need = rows * LANES
