@@ -79,7 +79,8 @@ def quantized_bboxes(scene: SceneData, grid: GridArrays) -> np.ndarray:
     return q.astype(np.float32)
 
 
-def emulation_bboxes(scene: SceneData, grid: GridArrays) -> np.ndarray:
+def emulation_bboxes(scene: SceneData, grid: GridArrays,
+                     motion_blur: bool = False) -> np.ndarray:
     """Per-object boxes for the emulation BVH: true AABBs where safe,
     cell-quantized where the DDA's *tested-set* semantics leak.
 
@@ -104,27 +105,35 @@ def emulation_bboxes(scene: SceneData, grid: GridArrays) -> np.ndarray:
     - **moving spheres** (motion blur): centers move by velocity*time but
       insertion uses the static bbox (grid.cpp:75-92 + scene.cpp:158-162)
       — a hit can escape the static AABB yet be found via the span.
-      Spheres are quantized unconditionally (motion is a render-time
-      flag; sphere-heavy grid scenes like balls_high already traverse
-      fast with quantized boxes).
+      Spheres are therefore quantized when ``motion_blur`` is on; with it
+      off a static sphere's hits all lie inside its true AABB and the
+      same subset argument as triangles applies (tight boxes measured
+      balls_high — 7.4k spheres, grid — 1.43 s -> interactive).
     """
     from distributionraytracer_tpu.scene.types import (
-        OBJ_BOX, OBJ_TRIANGLE,
+        OBJ_BOX, OBJ_SPHERE, OBJ_TRIANGLE,
     )
     true_bb = object_bboxes(scene)
     q = quantized_bboxes(scene, grid)
     types = np.array(scene.static.obj_types, np.int64)
     tight = (types == OBJ_TRIANGLE) | (types == OBJ_BOX)
+    if not motion_blur:
+        tight = tight | (types == OBJ_SPHERE)
     q[tight] = true_bb[tight]
     return q
 
 
-def pack_grid(scene: SceneData, grid: GridArrays) -> Optional[PallasGrid]:
+def pack_grid(scene: SceneData, grid: GridArrays,
+              motion_blur: bool = False) -> Optional[PallasGrid]:
     """Host-side: SAH BVH over emulation AABBs, leaf-collapsed for the
-    packet kernel (see accel.bvh.collapse_leaves), threaded + packed."""
+    packet kernel (see accel.bvh.collapse_leaves), threaded + packed.
+
+    ``motion_blur`` must match the render config: it decides whether
+    sphere AABBs may be kept tight (see emulation_bboxes).
+    """
     from distributionraytracer_tpu.accel.bvh import collapse_leaves
     from distributionraytracer_tpu.accel.pallas_bvh import PACKET_LEAF
-    q = emulation_bboxes(scene, grid)
+    q = emulation_bboxes(scene, grid, motion_blur)
     tb = collapse_leaves(thread_bvh(build_bvh(scene, bboxes=q)), PACKET_LEAF)
     tabs = pack_threaded(scene, tb)
     if tabs is None:

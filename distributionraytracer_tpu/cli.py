@@ -57,7 +57,7 @@ def _cmd_render(args):
         )
         from distributionraytracer_tpu.renderer import build_accel
         scene = scene.device_put()
-        ab = build_accel(scene, verbose=True)
+        ab = build_accel(scene, verbose=True, motion_blur=cfg.motion_blur)
         mesh = make_device_mesh()
         print(f"mesh: {mesh.devices.size} devices")
         t0 = time.perf_counter()

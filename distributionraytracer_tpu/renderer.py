@@ -103,13 +103,17 @@ class AccelBuild:
         self.grid_unroll = grid_unroll
 
 
-def build_accel(scene: SceneData, verbose: bool = False) -> AccelBuild:
+def build_accel(scene: SceneData, verbose: bool = False,
+                motion_blur: bool = False) -> AccelBuild:
     """Build the scene's accel structure host-side (grid.cpp:30-97 /
     bvh.cpp:27-227 equivalents) and device_put the tables once.
 
     Returns an AccelBuild whose ``xla`` pytree (GridArrays / ThreadedBVH) is
     the differentiable traversal and whose ``pallas`` pytree (PallasGrid /
     PallasBVH, may be None if not encodable) feeds the packet kernels.
+    ``motion_blur`` must match the render config — the grid-emulation
+    tables may keep sphere AABBs tight only for static spheres
+    (accel.pallas_grid.emulation_bboxes).
     """
     st = scene.static
     out = AccelBuild(st.accel)
@@ -119,7 +123,7 @@ def build_accel(scene: SceneData, verbose: bool = False) -> AccelBuild:
         from distributionraytracer_tpu.accel.pallas_grid import pack_grid
         grid = build_grid(scene)
         out.grid_unroll = _pick_unroll(grid.cell_start)
-        pg = pack_grid(scene, grid)
+        pg = pack_grid(scene, grid, motion_blur)
         out.pallas = jax.device_put(pg) if pg is not None else None
         out.xla = jax.device_put(grid)
         if verbose:
@@ -157,7 +161,8 @@ class Renderer:
                  verbose: bool = False):
         self.cfg = cfg if cfg is not None else default_config(scene)
         self.scene = scene.device_put()
-        ab = build_accel(scene, verbose=verbose)
+        ab = build_accel(scene, verbose=verbose,
+                         motion_blur=self.cfg.motion_blur)
         self.accel = ab.kind
         self.grid = ab.xla if ab.kind == ACCEL_GRID else None
         self.grid_pallas = ab.pallas if ab.kind == ACCEL_GRID else None
