@@ -586,9 +586,33 @@ def make_bvh_intersectors(scene: SceneData, bvh: BVHArrays,
     return Intersectors(closest, shadow)
 
 
-def collapse_leaves(tb: ThreadedBVH, max_leaf: int) -> ThreadedBVH:
+def protect_mask(scene: SceneData, motion_blur: bool = False) -> np.ndarray:
+    """Objects whose hits can escape their own AABB (see collapse_leaves):
+    infinite planes always; spheres when motion blur moves their centers
+    out of the static boxes the tree was built over."""
+    from distributionraytracer_tpu.scene.types import OBJ_PLANE, OBJ_SPHERE
+    types = np.array(scene.static.obj_types, np.int64)
+    p = types == OBJ_PLANE
+    if motion_blur:
+        p = p | (types == OBJ_SPHERE)
+    return p
+
+
+def collapse_leaves(tb: ThreadedBVH, max_leaf: int,
+                    protect=None) -> ThreadedBVH:
     """Coarsen a threaded tree: subtrees holding <= ``max_leaf`` objects
     become single leaves (host-side numpy).
+
+    ``protect`` (optional bool (O,), indexed by ORIGINAL object id): mark
+    objects whose hits can escape their own AABB — infinite planes (the
+    reference never overrides the default (-1,-1,-1)..(1,1,1) box,
+    scene.h:116) and moving spheres under motion blur (scene.cpp:158-162
+    moves the center but GetBoundingBox stays static).  A subtree
+    containing a protected object is never collapsed: merging it into a
+    fatter leaf would test it whenever the *merged* box is hit, changing
+    the observable tested set (the winners-unchanged argument below
+    needs every hit to lie inside the collapsed box, which holds for all
+    other static primitives).
 
     Motivation (packet kernel): the Pallas traversal pays a scalar node
     *fetch* (aligned block load + lane roll) per visited node while the
@@ -614,6 +638,14 @@ def collapse_leaves(tb: ThreadedBVH, max_leaf: int) -> ThreadedBVH:
     # objects before node i in DFS order == sum of leaf sizes over [0, i)
     cnt_prefix = np.zeros(N + 1, np.int64)
     np.cumsum(nobjs, out=cnt_prefix[1:])
+    # protected-object count prefix over obj_order (DFS object order)
+    oorder = np.asarray(jax.device_get(tb.obj_order), np.int64)
+    if protect is not None and len(oorder):
+        pvec = np.asarray(protect, bool)[oorder].astype(np.int64)
+        prot_prefix = np.zeros(len(oorder) + 1, np.int64)
+        np.cumsum(pvec, out=prot_prefix[1:])
+    else:
+        prot_prefix = np.zeros(len(oorder) + 1, np.int64)
     # the DFS-contiguity invariant the collapse relies on
     lf = nobjs > 0
     assert (first[lf] == cnt_prefix[:-1][lf]).all(), \
@@ -623,8 +655,10 @@ def collapse_leaves(tb: ThreadedBVH, max_leaf: int) -> ThreadedBVH:
     i = 0
     while i < N:
         sub_count = cnt_prefix[skip[i]] - cnt_prefix[i]
+        sub_prot = (prot_prefix[cnt_prefix[skip[i]]]
+                    - prot_prefix[cnt_prefix[i]])
         old2new[i] = len(new_meta)
-        if nobjs[i] == 0 and 0 < sub_count <= max_leaf:
+        if nobjs[i] == 0 and 0 < sub_count <= max_leaf and sub_prot == 0:
             # leaves inside [i, skip[i]) cover exactly
             # [cnt_prefix[i], cnt_prefix[skip[i]]) of obj_order
             new_box.append(box[i])

@@ -52,9 +52,12 @@ from distributionraytracer_tpu.scene.types import SceneData
 
 
 class PallasGrid(NamedTuple):
-    """Kernel tables + the grid slab parameters needed for the gates."""
+    """Kernel tables + the grid slab parameters needed for the gates.
 
-    tabs: PallasBVH
+    ``tabs`` is whichever packet-kernel family packed the emulation tree:
+    GroupedBVH (pallas_packet, default) or PallasBVH (legacy)."""
+
+    tabs: object
     bbox_min: jnp.ndarray  # (3,)
     bbox_max: jnp.ndarray  # (3,)
     ncells: jnp.ndarray  # (3,) i32
@@ -124,18 +127,34 @@ def emulation_bboxes(scene: SceneData, grid: GridArrays,
 
 
 def pack_grid(scene: SceneData, grid: GridArrays,
-              motion_blur: bool = False) -> Optional[PallasGrid]:
+              motion_blur: bool = False,
+              packet_kernel: str = "grouped") -> Optional[PallasGrid]:
     """Host-side: SAH BVH over emulation AABBs, leaf-collapsed for the
-    packet kernel (see accel.bvh.collapse_leaves), threaded + packed.
+    packet kernel (see accel.bvh.collapse_leaves; objects whose hits can
+    escape their emulation boxes keep their own leaves, bvh.protect_mask),
+    threaded + packed for the selected kernel family.
 
     ``motion_blur`` must match the render config: it decides whether
-    sphere AABBs may be kept tight (see emulation_bboxes).
+    sphere AABBs may be kept tight (see emulation_bboxes) and which
+    objects the collapse protects.
     """
-    from distributionraytracer_tpu.accel.bvh import collapse_leaves
-    from distributionraytracer_tpu.accel.pallas_bvh import PACKET_LEAF
+    from distributionraytracer_tpu.accel.bvh import (
+        collapse_leaves, protect_mask,
+    )
     q = emulation_bboxes(scene, grid, motion_blur)
-    tb = collapse_leaves(thread_bvh(build_bvh(scene, bboxes=q)), PACKET_LEAF)
-    tabs = pack_threaded(scene, tb)
+    tb = thread_bvh(build_bvh(scene, bboxes=q))
+    prot = protect_mask(scene, motion_blur)
+    tabs = None
+    if packet_kernel == "grouped":
+        from distributionraytracer_tpu.accel.pallas_packet import (
+            GROUPED_LEAF, pack_grouped,
+        )
+        tabs = pack_grouped(
+            scene, collapse_leaves(tb, GROUPED_LEAF, protect=prot))
+    if tabs is None:
+        from distributionraytracer_tpu.accel.pallas_bvh import PACKET_LEAF
+        tabs = pack_threaded(
+            scene, collapse_leaves(tb, PACKET_LEAF, protect=prot))
     if tabs is None:
         return None
     return PallasGrid(
@@ -150,10 +169,10 @@ def make_pallas_grid_intersectors(scene: SceneData, pg: PallasGrid,
                                   interpret: bool = False):
     from distributionraytracer_tpu.integrator.whitted import Intersectors
     from distributionraytracer_tpu.ops.intersect import HitResult
+    from distributionraytracer_tpu.renderer import packet_intersectors
 
-    inner = make_pallas_bvh_intersectors(scene, pg.tabs, motion_blur,
-                                         interpret=interpret,
-                                         shadow_mode="grid")
+    inner = packet_intersectors(scene, pg.tabs, motion_blur,
+                                interpret=interpret, shadow_mode="grid")
     gstub = GridArrays(bbox_min=pg.bbox_min, bbox_max=pg.bbox_max,
                        ncells=pg.ncells, cell_start=None, cell_objs=None,
                        cell_dist=None)

@@ -1,53 +1,60 @@
-"""Grouped Pallas packet traversal: 8 BVH nodes / 8 objects per VPU pass.
+"""Grouped Pallas packet traversal: 8 interleaved 128-ray walks per tile.
 
-Second-generation packet kernel (successor of ``pallas_bvh.py``).  The
-round-3 kernel walked one scalar node cursor per 1024-ray packet and paid,
-per visited node, a scalar-fetch chain (block load + lane roll + 8
-vector->scalar extracts) against one (8, 128)-tile slab test — measured
-~25x more time in fetch/control overhead than in VPU arithmetic, and its
-1024-ray packets made incoherent secondary rays walk near-whole-tree node
-unions (tools/profile_packet.py).  This kernel restructures both axes:
+Second-generation packet kernel (successor of ``pallas_bvh.py``), designed
+from tools/profile_packet.py measurements on the 100k-triangle dragon:
 
-- **Packets are 128 rays** (one lane row).  Unions shrink roughly with
-  packet size for incoherent rays, directly attacking the union blowup.
-- **Nodes live on sublanes**: the node table is packed so that one
-  (64, 128) block column holds a *group* of 8 consecutive DFS nodes, each
-  field as an (8, 1) sublane vector.  One slab test on (8, 128) tiles then
-  tests 8 nodes x 128 rays — full VPU utilization with zero per-field
-  scalar extracts (the only extracted scalars per group are one vote
-  bitmask, one leaf bitmask and 8 skip links for the cursor walk).
-- **Leaf objects are 8-aligned groups**: every collapsed leaf's objects
-  are repacked into dedicated aligned groups of 8 (padded with inert
-  type = -1 slots), each fetched as one (112, 128) block column giving all
-  8 objects' params as (8, 1) sublane vectors — 8 primitive tests per VPU
-  pass, zero scalar extracts (the round-3 kernel extracted 16 scalars per
-  object).
+- A traversal step's cost is ~250 ns of *serialized latency* (dynamic
+  fetch -> vote -> scalar -> next index), nearly independent of how much
+  VPU work rides on it (measured: the same chain costs 241-305 ns whether
+  it tests 1 node on a (8,128) tile or 8 nodes via any fetch strategy).
+- Independent chains overlap: 2 interleaved walks run at 131 ns/step
+  each, 4 at 99 ns/step (measured) — Mosaic pipelines separate
+  fetch/vote chains.
+- 1024-ray packets make incoherent rays walk near-whole-tree unions
+  (35% of nodes per shuffled packet); 128-ray packets shrink the union
+  roughly with packet size.
 
-Traversal stays the threaded DFS walk (child = node + 1, skip jumps the
-subtree).  Each iteration processes the *aligned group of 8* containing
-the cursor: every group node gets a per-lane vote
-(``ok & entry_t < best_t``); voted leaves update only lanes that voted
-them.  Processing nodes the scalar walk would have skipped is exact: a
-lane can only vote a node if its own per-lane traversal would have
-visited it (child AABB is contained in the parent's, entry_t is
-non-decreasing down the tree, and best_t only decreases over time — so an
-ancestor pruned for a lane implies every descendant fails that lane's
-vote too).  Groups are visited in strictly increasing cursor order and at
-most once, so leaf updates follow DFS object order and the strict-``<``
-tie-break matches the XLA threaded path bit-exactly
-(tests/test_pallas_accel.py locks grouped == legacy == XLA).
+So this kernel restructures the round-3 design on all three axes:
+
+1. **8 independent 128-ray walks per (8,128) tile** — sublane row ci is
+   its own packet with its own scalar cursor; the 8 fetch/vote chains
+   interleave and hide each other's latency.  The tile/batch interface
+   (and the _run/_dispatch chunking) is unchanged from pallas_bvh.
+2. **8 nodes per fetch**: the node table is packed so one lane column
+   holds a *group* of 8 consecutive DFS nodes, each field an (8, 1)
+   sublane vector after one aligned block load + one lane roll.  One
+   (8,128) slab test covers 8 nodes x 128 rays at full VPU width with
+   zero per-field scalar extracts.
+3. **8 objects per fetch**: every collapsed leaf's objects live in
+   dedicated 8-aligned object groups (inert type = -1 padding); one roll
+   exposes a whole *span* of groups as adjacent lanes, so all voted
+   leaves of a node group are tested with a single fetch and per-column
+   (8 objects x 128 rays) primitive tests — the round-3 kernel extracted
+   16 scalars per object.
+
+The walk itself is vectorized: per group, ``next_r = vote_r ? node_r + 1
+: skip_r`` for all 8 nodes at once, and the cursor jumps to ``min(next_r
+| next_r >= group_end)``.  This is exact: in DFS pre-order a voted
+leaf's skip IS node+1, skips are nested, and jumping *conservatively
+early* only re-processes nodes whose leaf updates are idempotent and
+vote-gated (a lane can only vote a node its own per-lane traversal would
+have visited: child AABB inside parent, entry_t non-decreasing, best_t
+non-increasing).  Leaf updates keep the per-lane vote gate of the
+round-3 kernel, so results — including the moving-sphere quirk and the
+grid emulation's quantized plane boxes — stay bit-identical to the XLA
+threaded path (tests/test_pallas_accel.py locks grouped == legacy ==
+XLA).
 
 Reference semantics carried over (bvh.cpp:231-391 via accel/bvh.py):
 entry-t slab with inside-AABB ``t := 0`` fix, closest-only ``entry_t <
 best_t`` pruning, shadow any-hit ``t <= dist + EPSILON`` (BVH) or strict
-``t < dist`` (grid emulation) with whole-packet early exit, shadow rays at
-time = 0, no shadow self-exclusion.
+``t < dist`` (grid emulation) with whole-packet early exit, shadow rays
+at time = 0, no shadow self-exclusion.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -63,117 +70,150 @@ from distributionraytracer_tpu.scene.types import (
 )
 
 LANES = 128
-GROUP = 8  # nodes / objects per VPU pass (the sublane dimension)
-PACKET = LANES  # rays per packet
+GROUP = 8  # nodes / objects per fetch (the sublane dimension)
+CHAINS = 8  # independent 128-ray walks per (8,128) tile
+TILE = CHAINS * LANES
 
 NODE_FIELDS = 8  # bmin xyz, bmax xyz, skip, meta
 OBJ_FIELDS = 14  # 12 packed params, type, global id
 NODE_ROWS = NODE_FIELDS * GROUP  # 64
 OBJ_ROWS = OBJ_FIELDS * GROUP  # 112
 
-# leaf meta encoding: meta = obj_group_first * 16 + n_groups (> 0 iff leaf;
-# interior/pad nodes carry 0).  Exact in f32 while obj_group_first < 2^19.
-MAX_LEAF_GROUPS = 16
+# leaf meta: meta = obj_group_first * 16 + n_groups (> 0 iff leaf).
+# Exact in f32 while obj_group_first < 2^19.
+MAX_LEAF_GROUPS = 9  # n_groups <= 8
+SPAN_CAP = 8  # max object-group span per node group (static unroll)
 
-# Leaf size the packet tree is collapsed to.  8 = one aligned object group
-# per leaf; larger multiples of 8 trade fewer node visits for more inert
-# padding tests.
+# Leaf size the packet tree is collapsed to: one aligned object group.
 GROUPED_LEAF = 8
 
+_IBIG = np.int32(0x3FFFFFFF)
 
-class GroupedBVH(NamedTuple):
-    """Device tables for the grouped kernel (pytree of two arrays).
 
-    ``node_g``: (64, Gn) f32 — column g holds nodes 8g..8g+7, row
-    ``f * 8 + r`` = field f of node 8g+r.  ``obj_g``: (112, Go) f32 —
-    column g holds objects 8g..8g+7 in leaf-group order (inert padding
-    slots carry type = -1).  ``n_nodes``: int, the walk's termination
-    bound (DFS sentinel); pad nodes carry impossible AABBs and
-    ``skip = n_nodes``.
+@jax.tree_util.register_pytree_node_class
+class GroupedBVH:
+    """Device tables for the grouped kernel.
+
+    ``node_g``: (64, Gn) f32 — lane column g holds nodes 8g..8g+7, row
+    ``f * 8 + r`` = field f of node 8g+r.  Pad nodes carry impossible
+    AABBs, ``skip = n_nodes`` and meta 0.  ``obj_g``: (112, Go) f32 —
+    column og holds objects 8og..8og+7 in leaf-group order; inert padding
+    slots carry type -1.  ``og_base``: (Gn+1,) i32 scalar-memory table of
+    each node group's first leaf's object group (leaf metas store an og
+    RELATIVE to it, so one int-sum reduce yields the whole group's voted
+    leaf bitmask — one vector->scalar sync instead of three).
+    ``n_nodes`` is *static* pytree aux data (the kernel's termination
+    bound must be a Python int under jit).
     """
 
-    node_g: jnp.ndarray
-    obj_g: jnp.ndarray
-    n_nodes: int
+    __slots__ = ("node_g", "obj_g", "og_base", "n_nodes")
 
+    def __init__(self, node_g, obj_g, og_base, n_nodes):
+        self.node_g = node_g
+        self.obj_g = obj_g
+        self.og_base = og_base
+        self.n_nodes = n_nodes
 
-def _to_groups(vals: np.ndarray, gpad: int) -> np.ndarray:
-    """(N,) field values -> (8, gpad) with column g = items 8g..8g+7."""
-    out = np.zeros((gpad * GROUP,), np.float32)
-    out[: vals.shape[0]] = vals
-    return out.reshape(gpad, GROUP).T
+    def tree_flatten(self):
+        return (self.node_g, self.obj_g, self.og_base), self.n_nodes
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux)
 
 
 def pack_grouped(scene: SceneData, tb: ThreadedBVH) -> Optional[GroupedBVH]:
-    """Host-side repack of a (leaf-collapsed) ThreadedBVH into grouped
-    tables.  Returns None when the tree cannot be encoded exactly (a
-    degenerate leaf needing >= MAX_LEAF_GROUPS object groups, or group
-    indices overflowing the f32-exact meta encoding)."""
+    """Host-side repack of a leaf-collapsed ThreadedBVH into grouped
+    tables.
+
+    Object groups are assigned per *node group* so that each node group's
+    leaf span (a) stays within one 128-lane block (one roll serves the
+    whole span) and (b) spans at most SPAN_CAP groups (static unroll
+    bound).  Returns None when a degenerate tree cannot satisfy (b) —
+    callers fall back to the legacy kernel.
+    """
     box = np.asarray(jax.device_get(tb.node_box), np.float32)  # (N,6)
     meta = np.asarray(jax.device_get(tb.node_meta), np.int64)  # (N,4)
     oorder = np.asarray(jax.device_get(tb.obj_order), np.int64)
     N = box.shape[0]
     skip, first, nobjs = meta[:, 0], meta[:, 1], meta[:, 2]
-
-    leaf_mask = nobjs > 0
-    leaf_first = first[leaf_mask]
-    leaf_nobj = nobjs[leaf_mask]
-    ngroups = -(-leaf_nobj // GROUP)  # per-leaf object groups
-    if ngroups.max(initial=0) >= MAX_LEAF_GROUPS:
-        return None
-    og_first = np.zeros(len(ngroups), np.int64)
-    np.cumsum(ngroups[:-1], out=og_first[1:])
-    total_groups = int(ngroups.sum())
-    if total_groups * 16 + MAX_LEAF_GROUPS >= (1 << 24):
+    if N and nobjs.max(initial=0) > GROUP:
+        # multi-group leaves (SAH fallback) break the relative-og meta
+        # encoding; callers fall back to the legacy kernel
         return None
 
-    # ---- node table ----
-    gn = -(-(N + 1) // GROUP)
-    gn_pad = max(-(-gn // LANES) * LANES, LANES)
+    gn = -(-N // GROUP)
+
+    # --- assign object groups, node group by node group ---
+    og_of_node = np.zeros(N, np.int64)  # object group per leaf (ng == 1)
+    rel_of_node = np.zeros(N, np.int64)  # og relative to the group base
+    og_base = np.zeros(gn + 1, np.int64)  # per node group
+    next_og = 0
+    for g in range(gn):
+        nodes = np.arange(g * GROUP, min((g + 1) * GROUP, N))
+        leaves = nodes[nobjs[nodes] > 0]
+        og_base[g] = next_og
+        for j, li in enumerate(leaves):
+            og_of_node[li] = next_og
+            rel_of_node[li] = j
+            next_og += 1
+    total_groups = next_og
+    if total_groups >= (1 << 23):
+        return None
+
+    # --- node table ---
+    gn_pad = max(-(-(gn + 1) // LANES) * LANES, LANES)
     node_g = np.zeros((NODE_ROWS, gn_pad), np.float32)
     npad_items = gn_pad * GROUP
 
     def put(f, vals, pad):
         full = np.full((npad_items,), pad, np.float32)
         full[: vals.shape[0]] = vals
-        node_g[f * GROUP:(f + 1) * GROUP] = full.reshape(
-            gn_pad, GROUP).T
+        node_g[f * GROUP:(f + 1) * GROUP] = full.reshape(gn_pad, GROUP).T
 
     for k in range(3):
         put(k, box[:, k], FLT_MAX)
         put(3 + k, box[:, 3 + k], -FLT_MAX)
     put(6, skip.astype(np.float32), float(N))
-    node_meta_new = np.zeros(N, np.float32)
-    node_meta_new[leaf_mask] = (og_first * 16 + ngroups).astype(np.float32)
-    put(7, node_meta_new, 0.0)
+    # leaf meta: rel_og * 16 + 1 (> 0 iff leaf; exact small ints in f32)
+    leaf_meta = np.zeros(N, np.float32)
+    lm = nobjs > 0
+    leaf_meta[lm] = (rel_of_node[lm] * 16 + 1).astype(np.float32)
+    put(7, leaf_meta, 0.0)
 
-    # ---- object table ----
+    # --- object table ---
     obj_data, obj_types, _ = packed_objects_np(scene)  # (O,12), (O,)
     O = oorder.shape[0]
-    go_pad = max(-(-total_groups // LANES) * LANES, LANES)
+    go_pad = max(-(-max(total_groups, 1) // LANES) * LANES, LANES)
     obj_g = np.zeros((OBJ_ROWS, go_pad), np.float32)
     obj_g[12 * GROUP:13 * GROUP] = -1.0  # inert type everywhere
 
-    # slot of object k (position in obj_order): leaf L = searchsorted on
-    # the DFS-contiguous leaf_first ranges, slot = og_first[L]*8 + offset
     if O:
+        # object k of obj_order belongs to leaf L with
+        # first[L] <= k < first[L] + nobjs[L] (DFS-contiguous ranges)
+        leaf_ids = np.nonzero(lm)[0]
+        lf = first[leaf_ids]
+        order_ids = np.argsort(lf)
+        lf_sorted = lf[order_ids]
         ks = np.arange(O, dtype=np.int64)
-        L = np.searchsorted(leaf_first, ks, side="right") - 1
-        slot = og_first[L] * GROUP + (ks - leaf_first[L])
+        Lpos = np.searchsorted(lf_sorted, ks, side="right") - 1
+        L = leaf_ids[order_ids[Lpos]]
+        slot = og_of_node[L] * GROUP + (ks - first[L])
         col, row = slot // GROUP, slot % GROUP
-        src = oorder  # object slot k holds original object oorder[k]
+        src = oorder
         for p in range(12):
             obj_g[p * GROUP + row, col] = obj_data[src, p]
         obj_g[12 * GROUP + row, col] = obj_types[src].astype(np.float32)
         obj_g[13 * GROUP + row, col] = src.astype(np.float32)
 
-    return GroupedBVH(node_g=node_g, obj_g=obj_g, n_nodes=int(N))
+    return GroupedBVH(node_g=node_g, obj_g=obj_g,
+                      og_base=og_base.astype(np.int32), n_nodes=int(N))
 
 
 def _prim_test_grouped(fld, o, d, inv, time, types_present, motion_blur):
-    """8 objects (params as (8,1) sublane vectors from ``fld``) vs a
-    128-ray packet broadcast to (8,128).  Returns (t, (nx,ny,nz)) of shape
-    (8,128); inert slots (type -1) yield t = FLT_MAX."""
+    """8 objects (params as (8,1) sublane vectors from ``fld``) vs one
+    128-ray packet broadcast to (8,128).  Returns (t, (nx,ny,nz)) of
+    shape (8,128); inert slots (type -1) keep t = FLT_MAX."""
     typ = fld(12)
     shape = o[0].shape
     t = jnp.full(shape, FLT_MAX, jnp.float32)
@@ -271,181 +311,251 @@ def _prim_test_grouped(fld, o, d, inv, time, types_present, motion_blur):
 
 def _make_grouped_kernel(types_present, motion_blur, is_shadow, n_nodes,
                          shadow_mode="bvh", profile=False):
-    """Build the grouped kernel body.  See module docstring for the
-    traversal contract; ``profile`` appends per-packet (node visits,
-    leaf object tests) counter outputs."""
-    gn_total = -(-(n_nodes + 1) // GROUP)
-    max_iters = np.int32(gn_total + 8)
-    n_end = np.int32(n_nodes)
+    gn = -(-max(n_nodes, 1) // GROUP)
+    max_iters = np.int32(2 * gn + 64)
+    n_end = np.int32(max(n_nodes, 1))
+    n_term = np.int32(gn * GROUP)  # all-pad group: parked chains no-op
 
-    def kernel(node_ref, obj_ref, ox, oy, oz, dx, dy, dz, tm, vd, *outs):
+    # BRANCHLESS design: any per-chain lax.cond / pl.when was measured to
+    # serialize the 8 chains (38 ns -> 208-251 ns per step, the branch
+    # flushes the vector pipeline), so every chain-step unconditionally
+    # processes ONE node group AND ONE leaf object column, with a scalar
+    # state machine (pending-columns counter + latched walk exit)
+    # draining multi-column leaf spans one column per step.  State lives
+    # in the OUTPUT REFS (row-sliced read-modify-writes); the while-loop
+    # carry is pure scalars.  Draining in DFS column order makes the
+    # best-t evolution *exactly* per-lane ordered: each column's gate is
+    # recomputed from the current best-t, which at that moment equals
+    # the per-lane traversal's best-t at that leaf's visit — exact even
+    # for moving spheres.
+    def kernel(node_ref, obj_ref, ob_ref, ox, oy, oz, dx, dy, dz, tm, vd,
+               *outs):
         shape = (GROUP, LANES)
-        bc = lambda r: jnp.broadcast_to(r[:], shape)
-        o = (bc(ox), bc(oy), bc(oz))
-        d = (bc(dx), bc(dy), bc(dz))
-        inv = tuple(1.0 / dk for dk in d)
-        time = (jnp.zeros(shape, jnp.float32) if is_shadow else bc(tm))
-        valid = vd[:] > 0.0  # (1,128)
+        o_t = (ox[:], oy[:], oz[:])
+        d_t = (dx[:], dy[:], dz[:])
+        inv_t = tuple(1.0 / dk for dk in d_t)
+        time_t = (jnp.zeros(shape, jnp.float32) if is_shadow else tm[:])
+        valid_t = vd[:] > 0.0
+        sdist_t = tm[:]  # shadow distance rides the time slot
+        idx8 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
+        zero8 = jnp.zeros(shape, jnp.float32)
 
-        node0 = jnp.where(jnp.any(valid), 0, n_end).astype(jnp.int32)
-        fmax_row = jnp.full((1, LANES), FLT_MAX, jnp.float32)
-        zrow = jnp.zeros((1, LANES), jnp.float32)
-        w8 = (jnp.int32(1)
-              << jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0))
+        if is_shadow:
+            occ_ref = outs[0]
+            occ_ref[:] = zero8
+        else:
+            t_ref, nx_ref, ny_ref, nz_ref, oid_ref = outs[0:5]
+            t_ref[:] = jnp.full(shape, FLT_MAX, jnp.float32)
+            nx_ref[:] = zero8
+            ny_ref[:] = zero8
+            nz_ref[:] = zero8
+            oid_ref[:] = jnp.full(shape, -1.0, jnp.float32)
+        base = 1 if is_shadow else 5
 
-        def leaf_groups(meta_scalar, gate, carry):
-            og0 = meta_scalar // 16
-            ng = meta_scalar % 16
+        cur0 = [jnp.where(jnp.any(valid_t[ci:ci + 1, :]), 0,
+                          jnp.int32(n_term)).astype(jnp.int32)
+                for ci in range(CHAINS)]
+        zi = jnp.int32(0)
 
-            def one_group(j, c):
-                og = og0 + j
-                obase = pl.multiple_of((og // LANES) * LANES, LANES)
-                oblk = obj_ref[:, pl.ds(obase, LANES)]
-                ocol = pltpu.roll(oblk, shift=LANES - (og % LANES), axis=1)
-                fld = lambda f: ocol[f * GROUP:(f + 1) * GROUP, 0:1]
-                t_c, n_c = _prim_test_grouped(
-                    fld, o, d, inv, time, types_present, motion_blur)
-                if is_shadow:
-                    bt, occ, lt = c
-                    hit_now = ((t_c < bt) if shadow_mode == "grid"
-                               else (t_c <= bt + EPSILON))
-                    any_hit = jnp.any(hit_now, axis=0, keepdims=True)
-                    return (bt, jnp.where(gate & any_hit, 1.0, occ),
-                            lt + GROUP)
-                bt, bnx, bny, bnz, boid, lt = c
-                gidv = fld(13)
-                # sequential strict-< chain in object-slot order keeps the
-                # reference's first-wins tie-break (DFS object order)
-                for rr in range(GROUP):
-                    t_r = t_c[rr:rr + 1, :]
-                    better = gate & (t_r < bt)
-                    bt = jnp.where(better, t_r, bt)
-                    bnx = jnp.where(better, n_c[0][rr:rr + 1, :], bnx)
-                    bny = jnp.where(better, n_c[1][rr:rr + 1, :], bny)
-                    bnz = jnp.where(better, n_c[2][rr:rr + 1, :], bnz)
-                    boid = jnp.where(
-                        better,
-                        jnp.broadcast_to(gidv[rr:rr + 1, 0:1], (1, LANES)),
-                        boid)
-                return (bt, bnx, bny, bnz, boid, lt + GROUP)
-
-            return jax.lax.fori_loop(0, ng, one_group, carry)
-
-        def cond(s):
-            return (s[0] < n_end) & (s[1] < max_iters)
-
-        def body(s):
-            if is_shadow:
-                node, it, lt, sdist, occf = s
-                live = valid & (occf == 0.0)
-                bt_prune = sdist
-            else:
-                node, it, lt, bt, bnx, bny, bnz, boid = s
-                live = valid
-                bt_prune = bt
-            g = node // GROUP
+        def chain_step(ci, st, lt):
+            """One branchless step of chain ci: node group + one leaf
+            column.  ``st`` = (cursor, pend_og, pend_n, latch)."""
+            cur, pend_og, pend_n, latch = st
+            g = cur // GROUP
             gbase = pl.multiple_of((g // LANES) * LANES, LANES)
             blk = node_ref[:, pl.ds(gbase, LANES)]
             col = pltpu.roll(blk, shift=LANES - (g % LANES), axis=1)
             fld = lambda f: col[f * GROUP:(f + 1) * GROUP, 0:1]
             lo = [fld(0), fld(1), fld(2)]
             hi = [fld(3), fld(4), fld(5)]
-            metav = fld(7)
+            metav = fld(7).astype(jnp.int32)
 
-            # slab test, entry-t semantics (boundingBox.cpp:64-124) with
-            # the inside-AABB t := 0 fix (bvh.cpp:256-257); (8,128) =
-            # 8 nodes x 128 rays
+            o_row = tuple(o_t[k][ci:ci + 1, :] for k in range(3))
+            inv_row = tuple(inv_t[k][ci:ci + 1, :] for k in range(3))
+
+            # slab test: 8 nodes x 128 rays (boundingBox.cpp:64-124 with
+            # the inside-AABB t := 0 fix, bvh.cpp:256-257)
             tmin = tmax = None
             inside = None
             for k in range(3):
-                ta = (lo[k] - o[k]) * inv[k]
-                tb = (hi[k] - o[k]) * inv[k]
-                pos = inv[k] >= 0.0
+                ta = (lo[k] - o_row[k]) * inv_row[k]
+                tb = (hi[k] - o_row[k]) * inv_row[k]
+                pos = inv_row[k] >= 0.0
                 tn = jnp.where(pos, ta, tb)
                 tf = jnp.where(pos, tb, ta)
                 tmin = tn if tmin is None else jnp.maximum(tmin, tn)
                 tmax = tf if tmax is None else jnp.minimum(tmax, tf)
-                ins_k = (o[k] > lo[k]) & (o[k] < hi[k])
+                ins_k = (o_row[k] > lo[k]) & (o_row[k] < hi[k])
                 inside = ins_k if inside is None else (inside & ins_k)
             ok = (tmin < tmax) & (tmax > 0.0)
             tent = jnp.where(tmin < 0.0, tmax, tmin)
             tent = jnp.where(inside, 0.0, tent)
 
             if is_shadow:
+                live = (valid_t[ci:ci + 1, :]
+                        & (occ_ref[ci:ci + 1, :] == 0.0))
                 vote = live & ok  # no t-pruning (bvh.cpp:347-387)
             else:
-                vote = live & ok & (tent < bt_prune)
+                live = valid_t[ci:ci + 1, :]
+                bt_row = t_ref[ci:ci + 1, :]
+                vote = live & ok & (tent < bt_row)
             vote_any = jnp.any(vote, axis=1, keepdims=True)  # (8,1)
-            is_leaf_v = metav > 0.0
-            vmask = jnp.sum(jnp.where(vote_any, w8, 0))
-            lmask = jnp.sum(jnp.where(vote_any & is_leaf_v, w8, 0))
+            skipv = fld(6).astype(jnp.int32)
 
-            # scalar cursor walk through the group: voted -> node+1 (a
-            # voted leaf's skip IS node+1 in DFS pre-order), else skip.
-            # Positions only move forward, so one ascending pass suffices.
+            # exact cursor walk, fully VECTORIZED.  Per node: next_r =
+            # vote_r ? node_r+1 : skip_r (a voted leaf's DFS successor
+            # IS node+1).  Skip intervals are nested, so node r is
+            # walk-visited iff r >= c_rel and the exclusive prefix-max
+            # of next over [c_rel, r) does not jump past it; the group
+            # exit is max(next_r) over visited rows.
             g8 = g * GROUP
-            cur = node
+            c_rel = cur - g8
+            nxt = jnp.where(vote_any, g8 + idx8 + 1, skipv)  # (8,1)
+            nm = jnp.where(idx8 >= c_rel, nxt, jnp.int32(-1))
+            pm = jnp.where(idx8 >= 1, pltpu.roll(nm, shift=1, axis=0),
+                           jnp.int32(-1))
+            for sft in (1, 2, 4):
+                sh = pltpu.roll(pm, shift=sft, axis=0)
+                pm = jnp.maximum(pm, jnp.where(idx8 >= sft, sh,
+                                               jnp.int32(-1)))
+            visited = (idx8 >= c_rel) & (pm <= g8 + idx8)
+            exit_v = jnp.max(jnp.where(visited, nxt, -1))
+            exit_v = jnp.where(exit_v >= n_end, jnp.int32(n_term),
+                               exit_v)
+
+            # the SECOND (and last) vector->scalar sync: the voted-leaf
+            # bitmask over og slots relative to the group's base (leaf
+            # metas store rel_og * 16 + 1; distinct powers of two make
+            # the int-ADD reduce an OR)
+            voted_leaf = vote_any & (metav > 0)
+            relv = metav // 16
+            lmask = jnp.sum(jnp.where(voted_leaf, jnp.int32(1) << relv,
+                                      0))
+            has_leaf = lmask > 0
+            ob = ob_ref[g]
+            lo_rel = zi
+            hi_rel = zi
+            for k in range(GROUP - 1, -1, -1):
+                lo_rel = jnp.where(((lmask >> k) & 1) == 1, k, lo_rel)
             for k in range(GROUP):
-                nk = g8 + k
-                act = cur == nk
-                vbit = ((vmask >> k) & 1) == 1
-                sk = col[6 * GROUP + k, 0].astype(jnp.int32)
-                cur = jnp.where(act, jnp.where(vbit, nk + 1, sk), cur)
-            nxt = jnp.maximum(cur, g8 + GROUP)
+                hi_rel = jnp.where(((lmask >> k) & 1) == 1, k, hi_rel)
+            og_lo = ob + lo_rel
+            span = hi_rel - lo_rel + 1
 
-            # voted leaves, in DFS order within the group
+            # -------- one leaf column, unconditionally --------
+            pending = pend_n > 0
+            fresh = (~pending) & has_leaf
+            col_og = jnp.where(pending, pend_og,
+                               jnp.where(has_leaf, og_lo, 0))
+            have_col = pending | has_leaf
+
+            # per-lane gate: the owning leaf's vote row, recomputed with
+            # the CURRENT best-t — per-lane exact (moving spheres,
+            # quantized plane boxes); with one object group per leaf the
+            # owner test is an equality
+            in_rng = voted_leaf & ((ob + relv) == col_og)
+            gate = jnp.any(vote & in_rng, axis=0, keepdims=True)
+            gate = gate & have_col
+
+            obase = pl.multiple_of((col_og // LANES) * LANES, LANES)
+            oblk = obj_ref[:, pl.ds(obase, LANES)]
+            ocol = pltpu.roll(oblk, shift=LANES - (col_og % LANES),
+                              axis=1)
+            fldo = lambda f: ocol[f * GROUP:(f + 1) * GROUP, 0:1]
+            o_b = tuple(jnp.broadcast_to(o_row[k], shape)
+                        for k in range(3))
+            d_b = tuple(jnp.broadcast_to(d_t[k][ci:ci + 1, :], shape)
+                        for k in range(3))
+            inv_b = tuple(jnp.broadcast_to(inv_row[k], shape)
+                          for k in range(3))
+            time_b = jnp.broadcast_to(time_t[ci:ci + 1, :], shape)
+            t_c, n_c = _prim_test_grouped(fldo, o_b, d_b, inv_b, time_b,
+                                          types_present, motion_blur)
             if is_shadow:
-                carry = (sdist, occf, lt)
+                sd = sdist_t[ci:ci + 1, :]
+                hit_now = ((t_c < sd) if shadow_mode == "grid"
+                           else (t_c <= sd + EPSILON))
+                anyh = jnp.any(hit_now, axis=0, keepdims=True)
+                occ_ref[ci:ci + 1, :] = jnp.where(
+                    gate & anyh, 1.0, occ_ref[ci:ci + 1, :])
             else:
-                carry = (bt, bnx, bny, bnz, boid, lt)
-            for r in range(GROUP):
-                pred = ((lmask >> r) & 1) == 1
-                gate = vote[r:r + 1, :]
-                mr = metav[r, 0].astype(jnp.int32)
-                carry = jax.lax.cond(
-                    pred,
-                    lambda c, _m=mr, _g=gate: leaf_groups(_m, _g, c),
-                    lambda c: c, carry)
+                # per-ray winner among the 8 objects; lowest row (= DFS
+                # object order) wins exact ties
+                tmin_c = jnp.min(t_c, axis=0, keepdims=True)
+                first_r = jnp.min(
+                    jnp.where(t_c == tmin_c, idx8, GROUP),
+                    axis=0, keepdims=True)
+                onehot = idx8 == first_r  # (8,128)
+                # one-hot row select via MAX (Mosaic rejects float ADD
+                # sublane reductions on offset layouts)
+                pick = lambda a: jnp.max(
+                    jnp.where(onehot, a, -FLT_MAX), axis=0,
+                    keepdims=True)
+                gidv = ocol[13 * GROUP:14 * GROUP, 0:1]
+                better = gate & (tmin_c < t_ref[ci:ci + 1, :])
+                t_ref[ci:ci + 1, :] = jnp.where(
+                    better, tmin_c, t_ref[ci:ci + 1, :])
+                nx_ref[ci:ci + 1, :] = jnp.where(
+                    better, pick(n_c[0]), nx_ref[ci:ci + 1, :])
+                ny_ref[ci:ci + 1, :] = jnp.where(
+                    better, pick(n_c[1]), ny_ref[ci:ci + 1, :])
+                nz_ref[ci:ci + 1, :] = jnp.where(
+                    better, pick(n_c[2]), nz_ref[ci:ci + 1, :])
+                oid_ref[ci:ci + 1, :] = jnp.where(
+                    better, pick(jnp.broadcast_to(gidv, shape)),
+                    oid_ref[ci:ci + 1, :])
 
+            # -------- scalar state advance --------
+            n_after = jnp.where(pending, pend_n - 1,
+                                jnp.where(fresh, span - 1, zi))
+            og_after = col_og + 1
+            latch2 = jnp.where(pending, latch, exit_v)
+            new_cur = jnp.where(n_after > 0, cur, latch2)
+            lt2 = lt + jnp.where(have_col, GROUP, 0)
+            return (new_cur, og_after, n_after, latch2), lt2
+
+        def cond(s):
+            it = s[0]
+            active = s[2] < n_end
+            for ci in range(1, CHAINS):
+                active = active | (s[2 + 4 * ci] < n_end)
+            return active & (it < max_iters)
+
+        def body(s):
+            it, lt = s[0], s[1]
+            sts = [tuple(s[2 + 4 * ci:2 + 4 * (ci + 1)])
+                   for ci in range(CHAINS)]
+            new = []
+            for ci in range(CHAINS):
+                st2, lt = chain_step(ci, sts[ci], lt)
+                new.extend(st2)
             if is_shadow:
-                sdist2, occf2, lt2 = carry
-                nxt = jnp.where(jnp.any(valid & (occf2 == 0.0)), nxt,
-                                n_end)
-                return (nxt, it + 1, lt2, sdist2, occf2)
-            bt2, bnx2, bny2, bnz2, boid2, lt2 = carry
-            return (nxt, it + 1, lt2, bt2, bnx2, bny2, bnz2, boid2)
+                done = ~jnp.any(valid_t & (occ_ref[:] == 0.0))
+                for ci in range(CHAINS):
+                    new[4 * ci] = jnp.where(done, jnp.int32(n_term),
+                                            new[4 * ci])
+                    new[4 * ci + 2] = jnp.where(done, zi,
+                                                new[4 * ci + 2])
+            return (it + 1, lt) + tuple(new)
 
-        if is_shadow:
-            sdist = tm[:]  # shadow calls pass dist through the time slot
-            state = (node0, jnp.int32(0), jnp.int32(0), sdist, zrow)
-            out = jax.lax.while_loop(cond, body, state)
-            outs[0][:] = out[4]
-            base = 1
-        else:
-            state = (node0, jnp.int32(0), jnp.int32(0), fmax_row, zrow,
-                     zrow, zrow, jnp.full((1, LANES), -1.0, jnp.float32))
-            out = jax.lax.while_loop(cond, body, state)
-            outs[0][:] = out[3]
-            outs[1][:] = out[4]
-            outs[2][:] = out[5]
-            outs[3][:] = out[6]
-            outs[4][:] = out[7]
-            base = 5
+        state = (jnp.int32(0), jnp.int32(0))
+        for ci in range(CHAINS):
+            state = state + (cur0[ci], zi, zi, jnp.int32(n_term))
+        out = jax.lax.while_loop(cond, body, state)
         if profile:
-            f32 = lambda v: jnp.full((1, LANES), 0.0, jnp.float32
-                                     ) + v.astype(jnp.float32)
-            outs[base][:] = f32(out[1])
-            outs[base + 1][:] = f32(out[2])
+            bc = lambda v: zero8 + v.astype(jnp.float32)
+            outs[base][:] = bc(out[0])
+            outs[base + 1][:] = bc(out[1])
 
     return kernel
 
 
 # rays per device dispatch (see pallas_bvh.CHUNK_RAYS): one Mosaic kernel
 # instance serves every Whitted level's batch size
-CHUNK_RAYS = 512 * PACKET
+CHUNK_RAYS = 64 * TILE
 
 
-def _pad_rows(a, rows):
+def _pad_tiles(a, rows):
     R = a.shape[0]
     need = rows * LANES
     if need != R:
@@ -453,39 +563,43 @@ def _pad_rows(a, rows):
     return a.reshape(rows, LANES)
 
 
+def _tile_rows(R):
+    rows = max(-(-R // LANES), 1)
+    return -(-rows // CHAINS) * CHAINS
+
+
 def _dispatch(tabs: GroupedBVH, kernel, tiled, n_out, interpret, rows):
-    row_spec = pl.BlockSpec((1, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((CHAINS, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     tab_specs = [
         pl.BlockSpec(tabs.node_g.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(tabs.obj_g.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     fshape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     return pl.pallas_call(
         kernel,
-        grid=(rows,),
-        in_specs=tab_specs + [row_spec] * 8,
-        out_specs=[row_spec] * n_out,
+        grid=(rows // CHAINS,),
+        in_specs=tab_specs + [tile_spec] * 8,
+        out_specs=[tile_spec] * n_out,
         out_shape=[fshape] * n_out,
         interpret=interpret,
-    )(tabs.node_g, tabs.obj_g, *tiled)
+    )(tabs.node_g, tabs.obj_g, tabs.og_base, *tiled)
 
 
 def _run(tabs: GroupedBVH, kernel, rays, n_out, interpret):
-    """Dispatch over the ray batch in CHUNK_RAYS chunks (one compiled
-    Mosaic instance for any batch size; lax.map over excess chunks)."""
     R = rays[0].shape[0]
     if R <= CHUNK_RAYS:
-        rows = max(-(-R // LANES), 1)
-        tiled = [_pad_rows(x, rows) for x in rays]
+        rows = _tile_rows(R)
+        tiled = [_pad_tiles(x, rows) for x in rays]
         outs = _dispatch(tabs, kernel, tiled, n_out, interpret, rows)
     else:
         rows = CHUNK_RAYS // LANES
         pad = (-R) % CHUNK_RAYS
         nc = (R + pad) // CHUNK_RAYS
-        tiled = [_pad_rows(x, nc * rows).reshape(nc, rows, LANES)
+        tiled = [_pad_tiles(x, nc * rows).reshape(nc, rows, LANES)
                  for x in rays]
         outs = jax.lax.map(
             lambda args: _dispatch(tabs, kernel, args, n_out, interpret,
@@ -499,8 +613,8 @@ def make_grouped_intersectors(scene: SceneData, tabs: GroupedBVH,
                               motion_blur: bool = False,
                               interpret: bool = False,
                               shadow_mode: str = "bvh"):
-    """Grouped-kernel Intersectors; drop-in for make_threaded_intersectors
-    and make_pallas_bvh_intersectors."""
+    """Grouped-kernel Intersectors; drop-in for
+    make_pallas_bvh_intersectors / make_threaded_intersectors."""
     from distributionraytracer_tpu.integrator.whitted import Intersectors
     from distributionraytracer_tpu.ops.intersect import HitResult
 
@@ -544,8 +658,9 @@ def make_grouped_intersectors(scene: SceneData, tabs: GroupedBVH,
 def profile_closest(scene: SceneData, tabs: GroupedBVH, o, d, time,
                     motion_blur: bool = False, interpret: bool = False,
                     shadow_mode: str = "bvh"):
-    """Instrumented closest-hit: per-128-ray-packet traversal counters
-    (group-visit iterations, leaf object tests incl. inert padding)."""
+    """Instrumented closest-hit: per-tile counters — while-loop
+    iterations (each fetches CHAINS node groups) and leaf object tests
+    (incl. inert padding)."""
     types_present = tuple(sorted(set(scene.static.obj_types)))
     k = _make_grouped_kernel(types_present, motion_blur, False,
                              tabs.n_nodes, shadow_mode=shadow_mode,
@@ -556,14 +671,14 @@ def profile_closest(scene: SceneData, tabs: GroupedBVH, o, d, time,
                 [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                  time, vd], 7, interpret)
     t, nx, ny, nz, oid, iters, lts = outs
-    P = -(-R // PACKET)
-    pad = (-R) % PACKET
+    P = -(-R // TILE)
+    pad = (-R) % TILE
     if pad:
         iters = jnp.concatenate([iters, jnp.zeros((pad,), iters.dtype)])
         lts = jnp.concatenate([lts, jnp.zeros((pad,), lts.dtype)])
     return {
         "t": t,
         "obj_id": oid.astype(jnp.int32),
-        "iters": iters.reshape(P, PACKET)[:, 0],
-        "leaf_tests": lts.reshape(P, PACKET)[:, 0],
+        "iters": iters.reshape(P, TILE)[:, 0],
+        "leaf_tests": lts.reshape(P, TILE)[:, 0],
     }

@@ -53,6 +53,13 @@ class RenderConfig:
     # kernels (interpret-mode off-TPU, for tests); 'xla' forces the pure-XLA
     # paths (the differentiable ones — training forces 'xla').
     accel_backend: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    # Which Pallas packet kernel family the accel path uses: 'grouped'
+    # (accel/pallas_packet.py — 8 interleaved 128-ray walks, 8-node /
+    # 8-object fetches; measured ~7x the legacy kernel on the dragon) or
+    # 'legacy' (accel/pallas_bvh.py — one 1024-ray union walk, kept as
+    # the fallback for trees the grouped packer cannot encode and for
+    # A/B measurement).
+    packet_kernel: str = "grouped"  # 'grouped' | 'legacy'
     dof: bool = False
     motion_blur: bool = False
     # Discontinuity-aware shadow gradients (SURVEY §7 step 9): 0 keeps the
@@ -110,6 +117,8 @@ class RenderConfig:
             raise ValueError(f"bad pallas mode: {self.pallas}")
         if self.accel_backend not in ("auto", "pallas", "xla"):
             raise ValueError(f"bad accel_backend: {self.accel_backend}")
+        if self.packet_kernel not in ("grouped", "legacy"):
+            raise ValueError(f"bad packet_kernel: {self.packet_kernel}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -69,14 +69,30 @@ def _use_pallas_accel(cfg) -> bool:
     return backend != "cpu"
 
 
+def packet_intersectors(scene, tabs, motion_blur, interpret,
+                        shadow_mode="bvh"):
+    """Intersectors for whichever packet-kernel family packed ``tabs``
+    (GroupedBVH -> pallas_packet, PallasBVH -> pallas_bvh legacy)."""
+    from distributionraytracer_tpu.accel.pallas_packet import (
+        GroupedBVH, make_grouped_intersectors,
+    )
+    if isinstance(tabs, GroupedBVH):
+        return make_grouped_intersectors(scene, tabs, motion_blur,
+                                         interpret=interpret,
+                                         shadow_mode=shadow_mode)
+    from distributionraytracer_tpu.accel.pallas_bvh import (
+        make_pallas_bvh_intersectors,
+    )
+    return make_pallas_bvh_intersectors(scene, tabs, motion_blur,
+                                        interpret=interpret,
+                                        shadow_mode=shadow_mode)
+
+
 @partial(jax.jit, static_argnums=(1, 6))
 def _render_bvh(scene, cfg, tbvh: ThreadedBVH, tabs, samples, row_offset,
                 return_rays=False):
     if tabs is not None and _use_pallas_accel(cfg):
-        from distributionraytracer_tpu.accel.pallas_bvh import (
-            make_pallas_bvh_intersectors,
-        )
-        inter = make_pallas_bvh_intersectors(
+        inter = packet_intersectors(
             scene, tabs, cfg.motion_blur,
             interpret=jax.default_backend() == "cpu")
         # the packet kernel has no gather-vs-lanes pathology: full-size
@@ -104,16 +120,19 @@ class AccelBuild:
 
 
 def build_accel(scene: SceneData, verbose: bool = False,
-                motion_blur: bool = False) -> AccelBuild:
+                motion_blur: bool = False,
+                packet_kernel: str = "grouped") -> AccelBuild:
     """Build the scene's accel structure host-side (grid.cpp:30-97 /
     bvh.cpp:27-227 equivalents) and device_put the tables once.
 
     Returns an AccelBuild whose ``xla`` pytree (GridArrays / ThreadedBVH) is
     the differentiable traversal and whose ``pallas`` pytree (PallasGrid /
-    PallasBVH, may be None if not encodable) feeds the packet kernels.
-    ``motion_blur`` must match the render config — the grid-emulation
-    tables may keep sphere AABBs tight only for static spheres
-    (accel.pallas_grid.emulation_bboxes).
+    GroupedBVH / PallasBVH, may be None if not encodable) feeds the packet
+    kernels.  ``motion_blur`` must match the render config — it decides
+    which objects the leaf collapse must protect (bvh.protect_mask) and
+    whether the grid emulation may keep sphere AABBs tight
+    (accel.pallas_grid.emulation_bboxes).  ``packet_kernel`` selects the
+    kernel family the tables are packed for (RenderConfig.packet_kernel).
     """
     st = scene.static
     out = AccelBuild(st.accel)
@@ -123,7 +142,8 @@ def build_accel(scene: SceneData, verbose: bool = False,
         from distributionraytracer_tpu.accel.pallas_grid import pack_grid
         grid = build_grid(scene)
         out.grid_unroll = _pick_unroll(grid.cell_start)
-        pg = pack_grid(scene, grid, motion_blur)
+        pg = pack_grid(scene, grid, motion_blur,
+                       packet_kernel=packet_kernel)
         out.pallas = jax.device_put(pg) if pg is not None else None
         out.xla = jax.device_put(grid)
         if verbose:
@@ -134,17 +154,28 @@ def build_accel(scene: SceneData, verbose: bool = False,
     elif st.accel == ACCEL_BVH:
         # build + DFS-renumber host-side (all numpy), one device_put;
         # traversal uses the threaded (stackless) tables.  The packet
-        # kernel gets a leaf-collapsed twin of the tree: it is fetch-bound
-        # per visited node, so coarse leaves trade vectorized primitive
-        # tests for an order of magnitude fewer node fetches
-        # (bvh.collapse_leaves; winners identical).
-        from distributionraytracer_tpu.accel.bvh import collapse_leaves
-        from distributionraytracer_tpu.accel.pallas_bvh import (
-            PACKET_LEAF, pack_threaded,
+        # kernels get a leaf-collapsed twin of the tree (coarse leaves
+        # amortize the per-node fetch; bvh.collapse_leaves, winners
+        # identical; objects whose hits can escape their AABB stay in
+        # their own leaves — bvh.protect_mask).
+        from distributionraytracer_tpu.accel.bvh import (
+            collapse_leaves, protect_mask,
         )
         tb = thread_bvh(build_bvh(scene))
-        tabs = pack_threaded(
-            scene, collapse_leaves(tb, PACKET_LEAF))  # None if unencodable
+        prot = protect_mask(scene, motion_blur)
+        tabs = None
+        if packet_kernel == "grouped":
+            from distributionraytracer_tpu.accel.pallas_packet import (
+                GROUPED_LEAF, pack_grouped,
+            )
+            tabs = pack_grouped(
+                scene, collapse_leaves(tb, GROUPED_LEAF, protect=prot))
+        if tabs is None:
+            from distributionraytracer_tpu.accel.pallas_bvh import (
+                PACKET_LEAF, pack_threaded,
+            )
+            tabs = pack_threaded(
+                scene, collapse_leaves(tb, PACKET_LEAF, protect=prot))
         out.xla = jax.device_put(tb)
         out.pallas = jax.device_put(tabs) if tabs is not None else None
         if verbose:
@@ -162,7 +193,8 @@ class Renderer:
         self.cfg = cfg if cfg is not None else default_config(scene)
         self.scene = scene.device_put()
         ab = build_accel(scene, verbose=verbose,
-                         motion_blur=self.cfg.motion_blur)
+                         motion_blur=self.cfg.motion_blur,
+                         packet_kernel=self.cfg.packet_kernel)
         self.accel = ab.kind
         self.grid = ab.xla if ab.kind == ACCEL_GRID else None
         self.grid_pallas = ab.pallas if ab.kind == ACCEL_GRID else None
