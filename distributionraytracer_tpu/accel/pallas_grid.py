@@ -164,6 +164,51 @@ def pack_grid(scene: SceneData, grid: GridArrays,
         ncells=np.asarray(jax.device_get(grid.ncells), np.int32))
 
 
+def make_brute_grid_intersectors(scene: SceneData, pg: PallasGrid,
+                                 motion_blur: bool = False,
+                                 interpret: bool = False):
+    """Cost-selected brute backend for small grid scenes.
+
+    Tests EVERY object with the linear megakernel (ops.pallas_intersect)
+    and applies the grid's observable gates on top: closest accepted iff
+    the slab init succeeds and ``t < t1`` (walk-out drop,
+    grid.cpp:258-304); shadow uses the strict ``t < dist`` occluder
+    compare with no self-exclusion (grid.cpp:330-352) and a failed
+    Init_Traverse counts as shadowed (grid.cpp:321-324).  Exact vs the
+    DDA for scenes without infinite planes or moving spheres: every hit
+    of a static sphere/triangle/box lies inside its true AABB, so the
+    DDA's tested set contains every object with a valid hit and the
+    strict-< winner coincides (renderer._use_cost_brute refuses scenes
+    where that argument fails).
+    """
+    from distributionraytracer_tpu.integrator.whitted import Intersectors
+    from distributionraytracer_tpu.ops import pallas_intersect as _pi
+    from distributionraytracer_tpu.ops.intersect import HitResult
+
+    gstub = GridArrays(bbox_min=pg.bbox_min, bbox_max=pg.bbox_max,
+                       ncells=pg.ncells, cell_start=None, cell_objs=None,
+                       cell_dist=None)
+
+    def closest(o, d, time, valid=None):
+        h = _pi.closest_hit_pallas(scene, o, d, time, motion_blur,
+                                   interpret=interpret, valid=valid)
+        ok, _cell, _dt, _tn, _st, _sp, _tmin, t1 = _init_traverse_batched(
+            gstub, o, d)
+        hit = h.hit & ok & (h.t < t1)
+        return HitResult(
+            hit=hit, t=jnp.where(hit, h.t, FLT_MAX), normal=h.normal,
+            obj_id=jnp.where(hit, h.obj_id, -1), mat_id=h.mat_id)
+
+    def shadow(o, d, dist, exclude_obj, valid=None):
+        occ = _pi.any_hit_pallas(scene, o, d, dist, None, motion_blur,
+                                 interpret=interpret, mode="grid",
+                                 valid=valid)
+        ok, *_ = _init_traverse_batched(gstub, o, d)
+        return occ | ~ok
+
+    return Intersectors(closest, shadow)
+
+
 def make_pallas_grid_intersectors(scene: SceneData, pg: PallasGrid,
                                   motion_blur: bool = False,
                                   interpret: bool = False):

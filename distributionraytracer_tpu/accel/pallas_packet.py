@@ -84,8 +84,11 @@ OBJ_ROWS = OBJ_FIELDS * GROUP  # 112
 MAX_LEAF_GROUPS = 9  # n_groups <= 8
 SPAN_CAP = 8  # max object-group span per node group (static unroll)
 
-# Leaf size the packet tree is collapsed to: one aligned object group.
-GROUPED_LEAF = 8
+# Leaf size the packet tree is collapsed to (objects; GROUPED_LEAF // 8
+# object groups per leaf).  Coarser leaves halve the node count per
+# doubling at the cost of extra column steps for multi-group leaves.
+GROUPED_LEAF = 16
+REL_SLOTS = 16  # og slots per node group the leaf metas can address
 
 _IBIG = np.int32(0x3FFFFFFF)
 
@@ -137,28 +140,33 @@ def pack_grouped(scene: SceneData, tb: ThreadedBVH) -> Optional[GroupedBVH]:
     oorder = np.asarray(jax.device_get(tb.obj_order), np.int64)
     N = box.shape[0]
     skip, first, nobjs = meta[:, 0], meta[:, 1], meta[:, 2]
-    if N and nobjs.max(initial=0) > GROUP:
-        # multi-group leaves (SAH fallback) break the relative-og meta
+    if N and nobjs.max(initial=0) > GROUP * (REL_SLOTS // 2):
+        # oversized leaves (SAH fallback) overflow the relative-og meta
         # encoding; callers fall back to the legacy kernel
         return None
 
     gn = -(-N // GROUP)
 
     # --- assign object groups, node group by node group ---
-    og_of_node = np.zeros(N, np.int64)  # object group per leaf (ng == 1)
-    rel_of_node = np.zeros(N, np.int64)  # og relative to the group base
+    og_of_node = np.zeros(N, np.int64)  # first object group per leaf
+    ng_of_node = np.zeros(N, np.int64)
+    rel_of_node = np.zeros(N, np.int64)  # og slot relative to group base
     og_base = np.zeros(gn + 1, np.int64)  # per node group
     next_og = 0
     for g in range(gn):
         nodes = np.arange(g * GROUP, min((g + 1) * GROUP, N))
         leaves = nodes[nobjs[nodes] > 0]
         og_base[g] = next_og
-        for j, li in enumerate(leaves):
+        for li in leaves:
+            ng = max(1, -(-int(nobjs[li]) // GROUP))
             og_of_node[li] = next_og
-            rel_of_node[li] = j
-            next_og += 1
+            rel_of_node[li] = next_og - og_base[g]
+            ng_of_node[li] = ng
+            next_og += ng
+        if next_og - og_base[g] > REL_SLOTS:
+            return None
     total_groups = next_og
-    if total_groups >= (1 << 23):
+    if total_groups >= (1 << 19):
         return None
 
     # --- node table ---
@@ -175,10 +183,11 @@ def pack_grouped(scene: SceneData, tb: ThreadedBVH) -> Optional[GroupedBVH]:
         put(k, box[:, k], FLT_MAX)
         put(3 + k, box[:, 3 + k], -FLT_MAX)
     put(6, skip.astype(np.float32), float(N))
-    # leaf meta: rel_og * 16 + 1 (> 0 iff leaf; exact small ints in f32)
+    # leaf meta: rel_og * 16 + ng (> 0 iff leaf; exact small ints in f32)
     leaf_meta = np.zeros(N, np.float32)
     lm = nobjs > 0
-    leaf_meta[lm] = (rel_of_node[lm] * 16 + 1).astype(np.float32)
+    leaf_meta[lm] = (rel_of_node[lm] * 16 + ng_of_node[lm]).astype(
+        np.float32)
     put(7, leaf_meta, 0.0)
 
     # --- object table ---
@@ -429,15 +438,22 @@ def _make_grouped_kernel(types_present, motion_blur, is_shadow, n_nodes,
             # the int-ADD reduce an OR)
             voted_leaf = vote_any & (metav > 0)
             relv = metav // 16
-            lmask = jnp.sum(jnp.where(voted_leaf, jnp.int32(1) << relv,
-                                      0))
+            ngv = metav % 16
+            # bits mark each voted leaf's FIRST and LAST og slot; slots
+            # are disjoint across leaves, so the int-ADD reduce never
+            # carries (a one-group leaf contributes its slot bit once)
+            lmask = jnp.sum(jnp.where(
+                voted_leaf & (ngv > 1),
+                (jnp.int32(1) << relv)
+                + (jnp.int32(1) << (relv + ngv - 1)),
+                jnp.where(voted_leaf, jnp.int32(1) << relv, 0)))
             has_leaf = lmask > 0
             ob = ob_ref[g]
             lo_rel = zi
             hi_rel = zi
-            for k in range(GROUP - 1, -1, -1):
+            for k in range(REL_SLOTS - 1, -1, -1):
                 lo_rel = jnp.where(((lmask >> k) & 1) == 1, k, lo_rel)
-            for k in range(GROUP):
+            for k in range(REL_SLOTS):
                 hi_rel = jnp.where(((lmask >> k) & 1) == 1, k, hi_rel)
             og_lo = ob + lo_rel
             span = hi_rel - lo_rel + 1
@@ -453,7 +469,8 @@ def _make_grouped_kernel(types_present, motion_blur, is_shadow, n_nodes,
             # the CURRENT best-t — per-lane exact (moving spheres,
             # quantized plane boxes); with one object group per leaf the
             # owner test is an equality
-            in_rng = voted_leaf & ((ob + relv) == col_og)
+            in_rng = (voted_leaf & (ob + relv <= col_og)
+                      & (ob + relv + ngv > col_og))
             gate = jnp.any(vote & in_rng, axis=0, keepdims=True)
             gate = gate & have_col
 

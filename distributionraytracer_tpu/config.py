@@ -60,6 +60,16 @@ class RenderConfig:
     # the fallback for trees the grouped packer cannot encode and for
     # A/B measurement).
     packet_kernel: str = "grouped"  # 'grouped' | 'legacy'
+    # Cost-based backend selection (scene.cpp:489 treats the P3F accel
+    # line as scene config, not an execution mandate): on TPU a linear
+    # brute megakernel beats tree traversal below ~1k objects (measured:
+    # blueDiamond, 178 objects, 1.1 -> ~10 Mrays/s), so accel scenes with
+    # n_objects <= this threshold run the brute kernel with accel-matched
+    # shadow/gate semantics (identical hit records; tie order within the
+    # measure-zero budget).  0 disables the override.  Scenes with
+    # infinite planes or moving spheres keep the traversal (their tested
+    # set is observable — see bvh.protect_mask).
+    accel_cost_threshold: int = 1024
     dof: bool = False
     motion_blur: bool = False
     # Discontinuity-aware shadow gradients (SURVEY §7 step 9): 0 keeps the

@@ -99,11 +99,13 @@ def brute_intersectors(scene: SceneData, cfg: RenderConfig) -> Intersectors:
 
         def closest(o, d, time, valid=None):
             return _pi.closest_hit_pallas(scene, o, d, time,
-                                          cfg.motion_blur, interpret=interp)
+                                          cfg.motion_blur,
+                                          interpret=interp, valid=valid)
 
         def shadow(o, d, dist, exclude_obj, valid=None):
             return _pi.any_hit_pallas(scene, o, d, dist, exclude_obj,
-                                      cfg.motion_blur, interpret=interp)
+                                      cfg.motion_blur, interpret=interp,
+                                      valid=valid)
 
         return Intersectors(closest, shadow)
 

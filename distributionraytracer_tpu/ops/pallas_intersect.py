@@ -195,8 +195,9 @@ def _fold_objects(obj_types, motion_blur, data_ref, o, d, time,
 
 def _closest_kernel(obj_types, motion_blur,
                     data_ref, mats_ref,
-                    ox, oy, oz, dx, dy, dz, tmr,
+                    ox, oy, oz, dx, dy, dz, tmr, vd,
                     t_out, nx_out, ny_out, nz_out, oid_out, mid_out):
+    del vd  # liveness parking measured slower here (pipeline stalls)
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
     time = tmr[:]
@@ -229,10 +230,10 @@ def _closest_kernel(obj_types, motion_blur,
     mid_out[:] = best_mid
 
 
-def _anyhit_kernel(obj_types, motion_blur,
+def _anyhit_kernel(obj_types, motion_blur, mode,
                    data_ref, mats_ref,
-                   ox, oy, oz, dx, dy, dz, dist, excl, occ_out):
-    del mats_ref
+                   ox, oy, oz, dx, dy, dz, dist, excl, vd, occ_out):
+    del mats_ref, vd  # liveness parking measured slower here
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
     max_d = dist[:]
@@ -243,9 +244,19 @@ def _anyhit_kernel(obj_types, motion_blur,
     # fori_loop bodies (scenes with >= LOOP_MIN same-type objects lower
     # their runs to fori — e.g. the 100-sphere random scene)
     def update(occluded, gid, t, _n):
-        # main.cpp:432-440: t in (1e-4, dist), skipping the shaded object
-        gid = jnp.asarray(gid, jnp.int32)
-        hit = (t < max_d) & (t > 1e-4) & (ex != gid)
+        if mode == "grid":
+            # grid occluder compare: strict t < dist, no self-exclusion
+            # (grid.cpp:330-352)
+            hit = t < max_d
+        elif mode == "bvh":
+            # BVH any-hit: t <= dist + EPSILON, no self-exclusion
+            # (bvh.cpp:376)
+            hit = t <= max_d + EPSILON
+        else:
+            # main.cpp:432-440: t in (1e-4, dist), skipping the shaded
+            # object
+            gid = jnp.asarray(gid, jnp.int32)
+            hit = (t < max_d) & (t > 1e-4) & (ex != gid)
         return jnp.maximum(occluded, hit.astype(jnp.float32))
 
     occluded = _fold_objects(obj_types, motion_blur, data_ref, o, d, time,
@@ -295,14 +306,19 @@ def _table_specs(scene: SceneData):
 
 
 def closest_hit_pallas(scene: SceneData, o, d, time, motion_blur: bool,
-                       interpret: bool = False):
-    """Drop-in for closest_hit_brute (forward-only)."""
+                       interpret: bool = False, valid=None):
+    """Drop-in for closest_hit_brute (forward-only).  ``valid`` (bool
+    (R,), optional) marks consumed lanes; all-dead tiles skip the whole
+    object fold."""
     from distributionraytracer_tpu.ops.intersect import HitResult
     R = o.shape[0]
     rows, grid = _ray_grid(R)
 
+    vd = (jnp.ones((R,), jnp.float32) if valid is None
+          else valid.astype(jnp.float32))
     rays = [_pad_view(x, rows) for x in
-            (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], time)]
+            (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], time,
+             vd)]
     (data, mats2), tab_specs = _table_specs(scene)
 
     spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
@@ -315,7 +331,7 @@ def closest_hit_pallas(scene: SceneData, o, d, time, motion_blur: bool,
     t, nx, ny, nz, oid, mid = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=tab_specs + [spec] * 7,
+        in_specs=tab_specs + [spec] * 8,
         out_specs=[spec] * 6,
         out_shape=[fshape, fshape, fshape, fshape, ishape, ishape],
         interpret=interpret,
@@ -331,24 +347,34 @@ def closest_hit_pallas(scene: SceneData, o, d, time, motion_blur: bool,
 
 
 def any_hit_pallas(scene: SceneData, o, d, max_dist, exclude_obj,
-                   motion_blur: bool, interpret: bool = False):
-    """Drop-in for any_hit_brute (shadow rays carry time = 0)."""
+                   motion_blur: bool, interpret: bool = False,
+                   mode: str = "none", valid=None):
+    """Drop-in for any_hit_brute (shadow rays carry time = 0).
+
+    ``mode`` selects the occluder comparison: "none" (linear-scan
+    reference semantics incl. self-exclusion), "grid" or "bvh" (the
+    accel-matched compares for the cost-based brute backend).
+    ``valid`` marks consumed lanes; all-dead tiles skip the fold."""
     R = o.shape[0]
     rows, grid = _ray_grid(R)
 
+    if exclude_obj is None:
+        exclude_obj = jnp.full((R,), -1, jnp.int32)
+    vd = (jnp.ones((R,), jnp.float32) if valid is None
+          else valid.astype(jnp.float32))
     rays = [_pad_view(x, rows) for x in
             (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-             max_dist, exclude_obj.astype(jnp.int32))]
+             max_dist, exclude_obj.astype(jnp.int32), vd)]
     (data, mats2), tab_specs = _table_specs(scene)
 
     spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     kern = functools.partial(_anyhit_kernel, scene.static.obj_types,
-                             motion_blur)
+                             motion_blur, mode)
     occ = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=tab_specs + [spec] * 8,
+        in_specs=tab_specs + [spec] * 9,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         interpret=interpret,

@@ -47,11 +47,15 @@ def _render_grid(scene, cfg, grid: GridArrays, pg, samples, row_offset,
                  unroll, return_rays=False):
     if pg is not None and _use_pallas_accel(cfg):
         from distributionraytracer_tpu.accel.pallas_grid import (
-            make_pallas_grid_intersectors,
+            make_brute_grid_intersectors, make_pallas_grid_intersectors,
         )
-        inter = make_pallas_grid_intersectors(
-            scene, pg, cfg.motion_blur,
-            interpret=jax.default_backend() == "cpu")
+        interp = jax.default_backend() == "cpu"
+        if _use_cost_brute(scene, cfg):
+            inter = make_brute_grid_intersectors(
+                scene, pg, cfg.motion_blur, interpret=interp)
+        else:
+            inter = make_pallas_grid_intersectors(
+                scene, pg, cfg.motion_blur, interpret=interp)
         cfg = cfg.replace(accel_tile_rays=cfg.tile_rays)
     else:
         inter = make_grid_intersectors(scene, grid, cfg.motion_blur,
@@ -67,6 +71,49 @@ def _use_pallas_accel(cfg) -> bool:
     if cfg.accel_backend == "pallas":
         return True
     return backend != "cpu"
+
+
+def _use_cost_brute(scene, cfg) -> bool:
+    """Cost-based backend override (RenderConfig.accel_cost_threshold):
+    small scenes run the linear brute megakernel with accel-matched
+    gates — on TPU it beats tree traversal below ~1k objects.  Refused
+    when the accel's *tested set* is observable: infinite planes (their
+    default/quantized boxes gate which rays ever test them,
+    scene.h:116 / grid.cpp:80-85) or moving spheres under motion blur
+    (hits escape the static boxes, scene.cpp:158-162)."""
+    from distributionraytracer_tpu.ops import pallas_intersect as _pi
+    from distributionraytracer_tpu.scene.types import OBJ_PLANE, OBJ_SPHERE
+    st = scene.static
+    if not cfg.accel_cost_threshold:
+        return False
+    if st.n_objects > cfg.accel_cost_threshold:
+        return False
+    types = set(st.obj_types)
+    if OBJ_PLANE in types:
+        return False
+    if cfg.motion_blur and OBJ_SPHERE in types:
+        return False
+    return _pi.pallas_supported(scene)
+
+
+def _brute_bvh_intersectors(scene, cfg, interpret):
+    """Cost-selected brute backend for small BVH scenes: linear
+    megakernel closest (no gates — BVH traversal tests a superset-safe
+    set) + the BVH any-hit compare (t <= dist + EPSILON, no
+    self-exclusion, bvh.cpp:376)."""
+    from distributionraytracer_tpu.integrator.whitted import Intersectors
+    from distributionraytracer_tpu.ops import pallas_intersect as _pi
+
+    def closest(o, d, time, valid=None):
+        return _pi.closest_hit_pallas(scene, o, d, time, cfg.motion_blur,
+                                      interpret=interpret, valid=valid)
+
+    def shadow(o, d, dist, exclude_obj, valid=None):
+        return _pi.any_hit_pallas(scene, o, d, dist, None,
+                                  cfg.motion_blur, interpret=interpret,
+                                  mode="bvh", valid=valid)
+
+    return Intersectors(closest, shadow)
 
 
 def packet_intersectors(scene, tabs, motion_blur, interpret,
@@ -92,9 +139,13 @@ def packet_intersectors(scene, tabs, motion_blur, interpret,
 def _render_bvh(scene, cfg, tbvh: ThreadedBVH, tabs, samples, row_offset,
                 return_rays=False):
     if tabs is not None and _use_pallas_accel(cfg):
-        inter = packet_intersectors(
-            scene, tabs, cfg.motion_blur,
-            interpret=jax.default_backend() == "cpu")
+        if _use_cost_brute(scene, cfg):
+            inter = _brute_bvh_intersectors(
+                scene, cfg, interpret=jax.default_backend() == "cpu")
+        else:
+            inter = packet_intersectors(
+                scene, tabs, cfg.motion_blur,
+                interpret=jax.default_backend() == "cpu")
         # the packet kernel has no gather-vs-lanes pathology: full-size
         # wavefronts amortize dispatch overhead (accel_tile_rays guards the
         # *XLA* traversal, config.py)
