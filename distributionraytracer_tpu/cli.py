@@ -94,8 +94,15 @@ def _cmd_view(args):
     import dataclasses
     from distributionraytracer_tpu.integrator.render import default_config
     from distributionraytracer_tpu.scene import load_p3f
-    from distributionraytracer_tpu.viewer import serve
+    from distributionraytracer_tpu.viewer import serve, serve_pt
 
+    if args.pt:
+        from distributionraytracer_tpu.config import RenderConfig
+        cfg = RenderConfig(max_bounces=args.bounces)
+        serve_pt(args.pt_scene, cfg, port=args.port,
+                 res=tuple(args.res) if args.res else (400, 300),
+                 cubemap=args.cubemap, chunk_spp=args.spp or 1)
+        return
     scene = load_p3f(args.scene)
     if args.res:
         scene = dataclasses.replace(
@@ -174,10 +181,19 @@ def main(argv=None):
 
     v = sub.add_parser("view", help="interactive progressive viewer "
                                     "(orbit camera, browser UI)")
-    v.add_argument("scene")
+    v.add_argument("scene", nargs="?", default=None,
+                   help="P3F scene path (Whitted mode); omit with --pt")
     v.add_argument("--port", type=int, default=8765)
     v.add_argument("--res", type=int, nargs=2, default=None)
-    v.add_argument("--spp", type=int, default=None)
+    v.add_argument("--spp", type=int, default=None,
+                   help="Whitted: batch spp; --pt: spp per frame chunk")
+    v.add_argument("--pt", action="store_true",
+                   help="interactive progressive PATH TRACER "
+                        "(P3D_RT.html harness parity)")
+    v.add_argument("--pt-scene", type=int, default=0, choices=range(5),
+                   help="GLSL scene id for --pt")
+    v.add_argument("--bounces", type=int, default=10)
+    v.add_argument("--cubemap", default=None)
     v.set_defaults(fn=_cmd_view)
 
     t = sub.add_parser("pathtrace", help="Monte Carlo path trace (GLSL scenes 0-4)")

@@ -209,6 +209,108 @@ class ViewerState:
         return path, float(self.prog_state[1]) if self.progressive else 1.0
 
 
+class PTViewerState:
+    """Interactive progressive PATH TRACER state — the browser harness's
+    real workload (P3D_RT.html:1753-1783): per-frame one-spp refinement
+    with ping-pong accumulation, orbit camera from the mouse with the
+    per-scene at/zoom defaults of GetCameraVectors (P3D_RT.glsl:687-735),
+    accumulator reset while the camera moves.
+
+    Same handler interface as :class:`ViewerState`; accumulates
+    (linear-mean, count) exactly like the alpha-channel sample count
+    (P3D_RT.glsl:784-792) and displays through gamma 2.2.
+    """
+
+    # per-scene orbit defaults (P3D_RT.glsl:689-735): (at, radius)
+    SCENE_CAM = {
+        0: ((0.0, 0.5, 0.0), 8.86),   # scene 0: length(6,1.6,-6) orbit
+        1: ((0.0, -3.0, 10.0), 17.1),
+        2: ((0.0, -3.0, 10.0), 17.1),
+        3: ((0.0, -3.0, 10.0), 17.1),
+        4: ((0.0, -1.0, 10.0), 12.2),
+    }
+
+    def __init__(self, scene_id: int, cfg, res=(400, 300), cubemap=None,
+                 chunk_spp: int = 1):
+        import jax
+        from distributionraytracer_tpu.scene import pt_scenes as PS
+
+        self.lock = threading.Lock()
+        sky_faces = sky_res = None
+        if cubemap:
+            from distributionraytracer_tpu.scene.skybox import load_skybox
+            sky_faces, sky_res = load_skybox(cubemap)
+        builder = PS.SCENE_BUILDERS[scene_id]
+        self.scene = (builder() if scene_id == 0
+                      else builder(sky_faces, sky_res)).device_put()
+        self.cfg = cfg
+        self.res_x, self.res_y = res
+        self.chunk_spp = chunk_spp
+        self.scene_id = scene_id
+        self.key = jax.random.PRNGKey(0)
+        self.frame_i = 0
+        at, r = self.SCENE_CAM[scene_id]
+        self.at = np.array(at, np.float32)
+        self.r0 = r
+        self.alpha0, self.beta0 = 45.0, 10.0
+        self.reset()
+
+    def reset(self):
+        self.alpha, self.beta, self.r = self.alpha0, self.beta0, self.r0
+        self.mean = np.zeros((self.res_y, self.res_x, 3), np.float32)
+        self.count = 0.0
+        self.progressive = True
+        self._last_cam = None
+
+    def as_json(self):
+        return json.dumps(dict(alpha=self.alpha, beta=self.beta, r=self.r,
+                               progressive=self.progressive, spp=0))
+
+    def _eye(self):
+        a = math.radians(self.alpha)
+        b = math.radians(self.beta)
+        return self.at + np.array(
+            [self.r * math.sin(a) * math.cos(b),
+             self.r * math.sin(b),
+             -self.r * math.cos(a) * math.cos(b)], np.float32)
+
+    def frame(self, alpha, beta, r, progressive):
+        import jax
+        import jax.numpy as jnp
+        from distributionraytracer_tpu.integrator import pathtracer as PT
+        from distributionraytracer_tpu.utils.image import to_u8
+
+        self.alpha, self.beta, self.r = alpha, beta, r
+        self.progressive = progressive
+        cam = (round(alpha, 4), round(beta, 4), round(r, 4))
+        if cam != self._last_cam:  # w reset while dragging (glsl:779-783)
+            self.mean = np.zeros_like(self.mean)
+            self.count = 0.0
+            self._last_cam = cam
+        self.frame_i += 1
+        key = jax.random.fold_in(self.key, self.frame_i)
+        img = np.asarray(PT.render_pt(
+            self.scene, self.cfg, self.res_x, self.res_y, key=key,
+            eye=self._eye(), at=self.at, spp=self.chunk_spp))
+        # progressive mix(prev, color, 1/w) in LINEAR space (glsl:784-792)
+        n2 = self.count + self.chunk_spp
+        self.mean = self.mean + (img - self.mean) * (self.chunk_spp / n2)
+        self.count = n2
+        self.last_rgb = to_u8(np.asarray(
+            np.clip(self.mean, 0.0, None) ** (1.0 / 2.2)))
+        return self.last_rgb, self.count
+
+    def screenshot(self, path=None):
+        if getattr(self, "last_rgb", None) is None:
+            raise RuntimeError("no frame rendered yet")
+        if path is None:
+            import time as _t
+            path = f"viewer_pt_screenshot_{int(_t.time())}.png"
+        with open(path, "wb") as f:
+            f.write(_png_bytes(self.last_rgb))
+        return path, self.count
+
+
 def _png_bytes(rgb_u8):
     from PIL import Image
     # image rows are y-up (viewport convention); flip for display
@@ -218,11 +320,17 @@ def _png_bytes(rgb_u8):
     return buf.getvalue()
 
 
-def make_server(scene, cfg, port: int = 8765):
-    """Build the HTTP server (separated from serve() for tests)."""
-    state = ViewerState(scene, cfg)
-    H = scene.static.res_y
-    W = scene.static.res_x
+def make_server(scene, cfg, port: int = 8765, state=None):
+    """Build the HTTP server (separated from serve() for tests).
+
+    ``state``: a prebuilt ViewerState/PTViewerState; default builds the
+    Whitted ViewerState for ``scene``."""
+    if state is None:
+        state = ViewerState(scene, cfg)
+        H = scene.static.res_y
+        W = scene.static.res_x
+    else:
+        H, W = state.res_y, state.res_x
     page = _PAGE.replace("__W__", str(W)).replace("__H__", str(H))
 
     class Handler(BaseHTTPRequestHandler):
@@ -283,6 +391,22 @@ def serve(scene, cfg, port: int = 8765):
     print(f"viewer on http://localhost:{port}/  "
           f"({scene.static.res_x}x{scene.static.res_y}, "
           f"accel={scene.static.accel})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+def serve_pt(scene_id: int, cfg, port: int = 8765, res=(400, 300),
+             cubemap=None, chunk_spp: int = 1):
+    """Interactive progressive path tracer (component 24's real harness:
+    P3D_RT.html drives the MC path tracer, not the Whitted renderer)."""
+    state = PTViewerState(scene_id, cfg, res=res, cubemap=cubemap,
+                          chunk_spp=chunk_spp)
+    httpd = make_server(None, cfg, port, state=state)
+    print(f"path-tracer viewer on http://localhost:{port}/  "
+          f"(GLSL scene {scene_id}, {res[0]}x{res[1]}, "
+          f"{chunk_spp} spp/frame)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

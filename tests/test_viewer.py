@@ -73,3 +73,50 @@ def test_viewer_screenshot(server, tmp_path):
     from distributionraytracer_tpu.utils.image import read_png
     img = read_png(str(out))
     assert img.shape == (24, 24, 3)
+
+
+# ------------------------------------------------- interactive path tracer
+@pytest.fixture(scope="module")
+def pt_server():
+    from distributionraytracer_tpu.config import RenderConfig
+    from distributionraytracer_tpu.viewer import PTViewerState, make_server
+
+    state = PTViewerState(0, RenderConfig(max_bounces=3), res=(32, 24),
+                          chunk_spp=1)
+    httpd = None
+    for port in range(18800, 18840):
+        try:
+            httpd = make_server(None, None, port, state=state)
+            break
+        except OSError:
+            continue
+    assert httpd is not None
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1], state
+    httpd.shutdown()
+
+
+def test_pt_viewer_progressive_refinement(pt_server):
+    """Component 24's real harness: the browser page drives the MC path
+    tracer progressively (P3D_RT.html:1753-1783) — sample count grows
+    frame to frame, resets on camera motion."""
+    port, state = pt_server
+    body, hdrs = _get(port, "/frame?alpha=45&beta=10&r=8.86&progressive=1")
+    assert body[:4] == b"\x89PNG"
+    assert float(hdrs["X-Samples"]) == 1.0
+    _, hdrs = _get(port, "/frame?alpha=45&beta=10&r=8.86&progressive=1")
+    assert float(hdrs["X-Samples"]) == 2.0
+    # orbit move -> accumulator reset (w reset, P3D_RT.glsl:779-783)
+    _, hdrs = _get(port, "/frame?alpha=60&beta=10&r=8.86&progressive=1")
+    assert float(hdrs["X-Samples"]) == 1.0
+
+
+def test_pt_viewer_screenshot(pt_server, tmp_path_factory):
+    port, state = pt_server
+    _get(port, "/frame?alpha=45&beta=10&r=8.86&progressive=1")
+    p = tmp_path_factory.mktemp("pt") / "shot.png"
+    body, _ = _get(port, f"/screenshot?path={p}")
+    out = json.loads(body)
+    assert out["path"] == str(p)
+    assert p.exists() and p.stat().st_size > 100
