@@ -368,7 +368,10 @@ def _shade_node(scene: SceneData, cfg: RenderConfig, inter: Intersectors,
 
     m = hit.mat_id
     M = st.n_materials
-    if 1 <= M <= 64:
+    # gate on the one-hot's actual footprint, not just M: at huge
+    # Rn x M the (Rn, M) f32 matrix would OOM material-heavy scenes
+    # (ADVICE r3); past the cap fall back to gathers
+    if 1 <= M <= 64 and Rn * M * 4 <= 128 * 1024 * 1024:
         # Material fetch as a one-hot matmul instead of 8 row gathers: XLA
         # lowers per-lane gathers on TPU to near-serial loops, and at
         # R x tree-nodes lanes they dominate brute-scene shading.  The

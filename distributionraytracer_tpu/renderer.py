@@ -161,13 +161,19 @@ class AccelBuild:
     pytree).  ``xla`` / ``pallas`` are the pytrees to thread through jit /
     shard_map boundaries; ``grid_unroll`` is the static unroll factor."""
 
-    __slots__ = ("kind", "xla", "pallas", "grid_unroll")
+    __slots__ = ("kind", "xla", "pallas", "grid_unroll",
+                 "built_motion_blur")
 
-    def __init__(self, kind, xla=None, pallas=None, grid_unroll=None):
+    def __init__(self, kind, xla=None, pallas=None, grid_unroll=None,
+                 built_motion_blur=False):
         self.kind = kind
         self.xla = xla
         self.pallas = pallas
         self.grid_unroll = grid_unroll
+        # the motion_blur flag the tables were built under: grid-emulation
+        # sphere AABBs are only tight when it was False (ADVICE r3) —
+        # consumers must render with a matching RenderConfig.motion_blur
+        self.built_motion_blur = built_motion_blur
 
 
 def build_accel(scene: SceneData, verbose: bool = False,
@@ -186,7 +192,7 @@ def build_accel(scene: SceneData, verbose: bool = False,
     kernel family the tables are packed for (RenderConfig.packet_kernel).
     """
     st = scene.static
-    out = AccelBuild(st.accel)
+    out = AccelBuild(st.accel, built_motion_blur=motion_blur)
     t0 = time.perf_counter()
     if st.accel == ACCEL_GRID:
         from distributionraytracer_tpu.accel.grid import _pick_unroll
@@ -246,6 +252,7 @@ class Renderer:
         ab = build_accel(scene, verbose=verbose,
                          motion_blur=self.cfg.motion_blur,
                          packet_kernel=self.cfg.packet_kernel)
+        assert ab.built_motion_blur == self.cfg.motion_blur
         self.accel = ab.kind
         self.grid = ab.xla if ab.kind == ACCEL_GRID else None
         self.grid_pallas = ab.pallas if ab.kind == ACCEL_GRID else None

@@ -147,3 +147,55 @@ def test_motion_blur_matches_oracle(scenes_dir):
     img = np.asarray(render_image(scene.device_put(), cfg, samples=samples))
     ref = oracle_render(scene, samples, motion_blur=True)
     assert_images_close(img, ref)
+
+
+def test_live_partition_properties():
+    """_live_partition: stable permutation, live-first, exact inverse."""
+    import numpy as np
+    from distributionraytracer_tpu.integrator.whitted import _live_partition
+
+    rng = np.random.default_rng(0)
+    for n in (1, 7, 128, 1000):
+        valid = rng.random(n) < 0.3
+        import jax.numpy as jnp
+        perm, pos = _live_partition(jnp.asarray(valid))
+        perm = np.asarray(perm)
+        pos = np.asarray(pos)
+        assert sorted(perm.tolist()) == list(range(n))
+        x = np.arange(n)
+        assert (x[perm][pos] == x).all()  # sorted[pos[i]] == x[i]
+        nlive = valid.sum()
+        assert valid[perm[:nlive]].all()
+        assert not valid[perm[nlive:]].any()
+        # stability: live lanes keep relative order
+        assert (np.diff(perm[:nlive]) > 0).all()
+        assert (np.diff(perm[nlive:]) > 0).all()
+
+
+def test_compact_lanes_output_equivalent(scenes_dir):
+    """compact_lanes=True must be output-identical on a refl+refr scene
+    under an accel traversal (ADVICE r3: the opt-in path had no coverage)."""
+    import dataclasses
+    import os
+
+    import jax
+    import numpy as np
+    from distributionraytracer_tpu.integrator.render import (
+        SampleSet, default_config, make_samples,
+    )
+    from distributionraytracer_tpu.renderer import Renderer
+    from distributionraytracer_tpu.scene import load_p3f
+    from distributionraytracer_tpu.scene.types import ACCEL_BVH
+
+    scene = load_p3f(os.path.join(scenes_dir, "teste.p3f"))
+    scene = dataclasses.replace(
+        scene, static=dataclasses.replace(scene.static, accel=ACCEL_BVH,
+                                          res_x=24, res_y=18, spp=1))
+    imgs = {}
+    for compact in (False, True):
+        cfg = default_config(scene).replace(
+            compact_lanes=compact, accel_backend="xla",
+            accel_cost_threshold=0)
+        r = Renderer(scene, cfg)
+        imgs[compact] = np.asarray(r.render(jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(imgs[False], imgs[True])
