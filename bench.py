@@ -271,9 +271,11 @@ def measure_scene(name, repeats=2):
     }
 
 
-def measure_pt(res_x=800, res_y=600, spp=64, chunk=32, repeats=1):
-    """GLSL-semantics Monte Carlo path tracer (P3D_RT.glsl SCENE 0) at the
-    harness shape: 800x600, 64 spp, 10 bounces with Russian roulette.
+def measure_pt(res_x=800, res_y=600, spp=64, chunk=32, repeats=1,
+               scene_id=0):
+    """GLSL-semantics Monte Carlo path tracer (P3D_RT.glsl #define SCENE
+    ``scene_id``) at the harness shape: 800x600, 64 spp, 10 bounces with
+    Russian roulette.
 
     ``render_pt`` tiles rays internally (cfg.pt_tile_rays), so HBM stays
     bounded at any spp; ``chunk`` only bounds single-dispatch wall time
@@ -282,10 +284,12 @@ def measure_pt(res_x=800, res_y=600, spp=64, chunk=32, repeats=1):
     import jax
     from distributionraytracer_tpu.config import RenderConfig
     from distributionraytracer_tpu.integrator.pathtracer import render_pt
-    from distributionraytracer_tpu.scene.pt_scenes import scene0
+    from distributionraytracer_tpu.scene.pt_scenes import SCENE_BUILDERS
 
     import jax.numpy as jnp
-    sc = jax.device_put(scene0())
+    builder = SCENE_BUILDERS[scene_id]
+    sc = jax.device_put(builder() if scene_id == 0
+                        else builder(None, None))
     cfg = RenderConfig()
     nchunks = spp // chunk
     # warmup/compile; the float() readback is load-bearing: on the remote
@@ -311,7 +315,7 @@ def measure_pt(res_x=800, res_y=600, spp=64, chunk=32, repeats=1):
     dt = min(times)
     n_samples = res_x * res_y * spp
     return {
-        "scene": "pt_scene0", "res": [res_x, res_y], "spp": spp,
+        "scene": f"pt_scene{scene_id}", "res": [res_x, res_y], "spp": spp,
         "render_s": round(dt, 3),
         "msamples_s": round(n_samples / dt / 1e6, 2),
     }, acc
@@ -448,6 +452,17 @@ def run_full():
         print("# " + json.dumps(results["pt"]), file=sys.stderr)
     except Exception as e:
         results["pt"] = {"error": repr(e)[:200]}
+    # the other four GLSL scenes at a lighter shape (VERDICT r3 item 4:
+    # "only scene 0 is benched; scenes 1-4 exist but have no on-chip
+    # numbers")
+    results["pt_scenes"] = []
+    for sid in (1, 2, 3, 4):
+        try:
+            row, _ = measure_pt(spp=16, chunk=16, scene_id=sid)
+        except Exception as e:
+            row = {"scene": f"pt_scene{sid}", "error": repr(e)[:200]}
+        results["pt_scenes"].append(row)
+        print("# " + json.dumps(row), file=sys.stderr)
 
     with open(SCENES_OUT, "w") as f:
         json.dump(results, f, indent=1)
@@ -510,6 +525,11 @@ def regen_parity_tables(results):
             f"GLSL path tracer (scene 0, {pt['res'][0]}x{pt['res'][1]}, "
             f"{pt['spp']} spp, 10 bounces): {pt['render_s']:.1f}s "
             f"({pt['msamples_s']} Msamples/s).")
+    extra = [f"scene {r['scene'][-1]}: {r['msamples_s']} Msamples/s"
+             for r in results.get("pt_scenes", []) if "render_s" in r]
+    if extra:
+        lines.append("GLSL scenes 1-4 (800x600, 16 spp): "
+                     + "; ".join(extra) + ".")
     scal = os.path.join(os.path.dirname(parity), "SCALING.json")
     if os.path.exists(scal):
         with open(scal) as f:

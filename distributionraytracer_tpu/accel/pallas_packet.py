@@ -26,24 +26,28 @@ So this kernel restructures the round-3 design on all three axes:
    (8,128) slab test covers 8 nodes x 128 rays at full VPU width with
    zero per-field scalar extracts.
 3. **8 objects per fetch**: every collapsed leaf's objects live in
-   dedicated 8-aligned object groups (inert type = -1 padding); one roll
-   exposes a whole *span* of groups as adjacent lanes, so all voted
-   leaves of a node group are tested with a single fetch and per-column
-   (8 objects x 128 rays) primitive tests — the round-3 kernel extracted
-   16 scalars per object.
+   dedicated 8-aligned object groups (inert type = -1 padding), tested
+   8-at-a-time per column with zero scalar extracts — the round-3
+   kernel extracted 16 scalars per object.
+4. **Branchless steps**: any per-chain lax.cond / pl.when serializes
+   the chains (measured 38 -> 208-251 ns/step — the branch drains the
+   vector pipeline), so every step unconditionally processes one node
+   group AND one leaf object column; a scalar state machine (pending-
+   column counter + latched walk exit) drains multi-column leaf spans
+   one column per step, and finished chains park on an all-pad group.
 
-The walk itself is vectorized: per group, ``next_r = vote_r ? node_r + 1
-: skip_r`` for all 8 nodes at once, and the cursor jumps to ``min(next_r
-| next_r >= group_end)``.  This is exact: in DFS pre-order a voted
-leaf's skip IS node+1, skips are nested, and jumping *conservatively
-early* only re-processes nodes whose leaf updates are idempotent and
-vote-gated (a lane can only vote a node its own per-lane traversal would
-have visited: child AABB inside parent, entry_t non-decreasing, best_t
-non-increasing).  Leaf updates keep the per-lane vote gate of the
-round-3 kernel, so results — including the moving-sphere quirk and the
-grid emulation's quantized plane boxes — stay bit-identical to the XLA
-threaded path (tests/test_pallas_accel.py locks grouped == legacy ==
-XLA).
+The walk is vectorized and exact: per group, ``next_r = vote_r ?
+node_r + 1 : skip_r`` (in DFS pre-order a voted leaf's successor IS
+node+1); because skip intervals are nested, node r is walk-visited iff
+the exclusive prefix-max of ``next`` over [c_rel, r) does not jump past
+it (log-step sublane rolls), and the group exit is max(next_r) over
+visited rows.  Leaf columns drain in DFS object order against the live
+best-t, so each column's per-lane vote gate equals the per-lane
+traversal's own gate at that leaf's visit time — results match the XLA
+threaded path exactly up to float-association (same winners/ties;
+t and normals to float tolerance, tests/test_pallas_packet.py), and the
+moving-sphere quirk and the grid emulation's quantized plane boxes are
+preserved.
 
 Reference semantics carried over (bvh.cpp:231-391 via accel/bvh.py):
 entry-t slab with inside-AABB ``t := 0`` fix, closest-only ``entry_t <
