@@ -420,6 +420,77 @@ def measure_scaling(devs=(1, 2, 4, 8), res=256, spp=8, repeats=3):
     return sections
 
 
+def measure_packet_profile(name="dragon_assignment1"):
+    """Per-stage counters for the grouped packet kernel on the mesh
+    scene's primary rays — the per-kernel profiling evidence BASELINE.md
+    line 26 asks for (node-group visits and leaf object tests per
+    128-ray packet walk, plus the derived cost per traversal step and
+    the achieved primitive-test rate vs the VPU roofline)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from distributionraytracer_tpu.accel.pallas_packet import (
+        CHAINS, make_grouped_intersectors, profile_closest,
+    )
+    from distributionraytracer_tpu.ops.camera import primary_rays
+    from distributionraytracer_tpu.renderer import build_accel
+    from distributionraytracer_tpu.scene import load_p3f
+    from distributionraytracer_tpu.scene.types import (
+        ACCEL_GRID, derive_camera,
+    )
+
+    scene = load_p3f(os.path.join(SCENES, f"{name}.p3f"))
+    st = scene.static
+    ab = build_accel(scene)
+    tabs = ab.pallas.tabs if st.accel == ACCEL_GRID else ab.pallas
+    shadow_mode = "grid" if st.accel == ACCEL_GRID else "bvh"
+
+    cam = derive_camera(scene)
+    H, W = st.res_y, st.res_x
+    ys, xs = np.mgrid[0:H, 0:W]
+    pix = jnp.asarray(np.stack([xs + 0.5, ys + 0.5], -1).reshape(-1, 2),
+                      jnp.float32)
+    o, d, _ = primary_rays(cam, pix)
+    t = jnp.zeros((o.shape[0],), jnp.float32)
+    R = o.shape[0]
+
+    inter = make_grouped_intersectors(scene, tabs,
+                                      shadow_mode=shadow_mode)
+    f = jax.jit(lambda o, d, t: inter.closest(o, d, t).t)
+    float(jnp.sum(f(o, d, t)))  # compile + sync
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(f(o, d, t)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    prof = profile_closest(scene, tabs, o, d, t, shadow_mode=shadow_mode)
+    iters = np.asarray(prof["iters"])
+    lts = np.asarray(prof["leaf_tests"])
+    # each body iteration runs CHAINS chain-steps (one 8-node group + one
+    # 8-object column each)
+    steps = float(iters.sum()) * CHAINS
+    # counters tally 8-object columns / 8-node groups; each runs against
+    # 128 ray lanes on the VPU, so ray-primitive tests are x128
+    obj_tests = float(lts.sum()) * 128.0
+    node_tests = steps * 8 * 128.0
+    test_rate = (obj_tests + node_tests) / dt
+    # ~50 f32 flops per ray-primitive/slab test on the VPU
+    sol_pct = 100.0 * (test_rate * 50.0) / VPU_PEAK_F32
+    return {
+        "scene": name, "rays": R, "primary_wall_s": round(dt, 4),
+        "primary_mrays_s": round(R / dt / 1e6, 2),
+        "iters_per_tile_mean": round(float(iters.mean()), 1),
+        "iters_per_tile_max": int(iters.max()),
+        "ray_obj_tests_per_ray": round(obj_tests / R, 1),
+        "ray_node_tests_per_ray": round(node_tests / R, 1),
+        "ns_per_chain_step": round(dt / max(steps, 1) * 1e9, 1),
+        "test_rate_g_per_s": round(test_rate / 1e9, 3),
+        "vpu_sol_pct": round(sol_pct, 2),
+    }
+
+
 def run_full():
     import jax
     results = {"device": str(jax.devices()[0]),
@@ -446,6 +517,13 @@ def run_full():
             row = {"scene": name, "error": repr(e)[:200]}
         results["scenes"].append(row)
         print("# " + json.dumps(row), file=sys.stderr)
+
+    try:
+        results["packet_profile"] = measure_packet_profile()
+        print("# " + json.dumps(results["packet_profile"]),
+              file=sys.stderr)
+    except Exception as e:
+        results["packet_profile"] = {"error": repr(e)[:200]}
 
     try:
         results["pt"], _ = measure_pt()

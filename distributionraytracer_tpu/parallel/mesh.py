@@ -87,10 +87,17 @@ def accel_intersectors(scene: SceneData, cfg: RenderConfig, accel,
     from distributionraytracer_tpu.accel.pallas_grid import (
         PallasGrid, make_pallas_grid_intersectors,
     )
+    from distributionraytracer_tpu.accel.pallas_packet import GroupedBVH
     interp = jax.default_backend() == "cpu"
     if isinstance(accel, PallasGrid):
         return make_pallas_grid_intersectors(scene, accel, cfg.motion_blur,
                                              interpret=interp)
+    if isinstance(accel, GroupedBVH):
+        from distributionraytracer_tpu.accel.pallas_packet import (
+            make_grouped_intersectors,
+        )
+        return make_grouped_intersectors(scene, accel, cfg.motion_blur,
+                                         interpret=interp)
     if isinstance(accel, PallasBVH):
         return make_pallas_bvh_intersectors(scene, accel, cfg.motion_blur,
                                             interpret=interp)
