@@ -516,6 +516,31 @@ def ray_color(scene: PTScene, cfg: RenderConfig, o, d, time, key):
     if _use_pallas_pt(scene, cfg):
         from distributionraytracer_tpu.ops import pallas_pt
         interp = jax.default_backend() == "cpu"
+        if pallas_pt.pt_bounce_supported(scene):
+            # fully fused per-bounce megakernel (closest + shadows +
+            # direct + scatter + RR + sky in one pass); uniforms are
+            # drawn with the same key schedule as the jnp body below,
+            # so the estimator is unchanged
+            def body_fused(carry, k):
+                o, d, col, thr, alive, t_ray = carry
+                ks = jax.random.split(k, 4)
+                uch = jax.random.uniform(ks[1], (R,))
+                u3a = jax.random.uniform(ks[2], (R, 3))
+                u3b = jax.random.uniform(ks[3], (R, 3))
+                urr = jax.random.uniform(jax.random.fold_in(k, 7), (R,))
+                o, d, col, thr, alive = pallas_pt.pt_bounce(
+                    scene, o, d, col, thr, alive, t_ray, uch, u3a, u3b,
+                    urr, rr=cfg.russian_roulette, interpret=interp)
+                return (o, d, col, thr, alive,
+                        jnp.zeros_like(t_ray)), None
+
+            col = jnp.zeros((R, 3), jnp.float32)
+            thr = jnp.ones((R, 3), jnp.float32)
+            alive = jnp.ones((R,), bool)
+            keys = jax.random.split(key, cfg.max_bounces)
+            (o, d, col, thr, alive, _), _ = jax.lax.scan(
+                body_fused, (o, d, col, thr, alive, time), keys)
+            return col
         closest_q = lambda o2, d2, t2: pallas_pt.pt_closest(
             scene, o2, d2, t2, interpret=interp)
         occl_q = lambda o2, d2, t2, tmin, tmax: pallas_pt.pt_any_hit(

@@ -317,3 +317,365 @@ def pt_any_hit(scene, o, d, time, tmax, interpret: bool = False):
         interpret=interpret,
     )(data, mats, *rays)
     return occ.reshape(-1)[:R].astype(jnp.bool_)
+
+
+# ---------------------------------------------------------------- bounce
+# Fused per-bounce megakernel (VERDICT r3 item 4): closest hit + point
+# -light direct lighting (with in-kernel shadow folds) + scatter +
+# Russian roulette + gradient-sky miss + state update, one HBM round
+# trip per bounce instead of the ~10 the XLA glue streams.  Scope gates
+# (pt_bounce_supported): gradient sky, point lights only, no striped
+# materials — exactly the harness scene 0 shape; other configs keep the
+# query-kernel + XLA path.  Uniform random inputs are precomputed by the
+# caller with the same jax.random stream as ray_color, so the estimator
+# is unchanged (results match to float association).
+
+BOUNCE_ROWS = 32  # rays per grid step (tuned: 8/16/64 measured slower)
+PI = np.float32(3.14159265358979)
+MT_DIFFUSE, MT_METAL, MT_DIELECTRIC, MT_PLASTIC = 0, 1, 2, 3
+
+
+def pack_pt_mats(scene):
+    """(M_objects, 16) f32 per-OBJECT material rows: [type, albedo3,
+    spec3, emissive3, rough, refidx, refract3 (the Beer color), stripe]
+    indexed by object id (the closest fold carries the winner's fields
+    out of SMEM)."""
+    _, mats, _ = pack_pt(scene)
+    mid = mats[:, 0]
+    j = jnp.asarray  # scene leaves may be host numpy; mid is traced
+    row = jnp.concatenate([
+        j(scene.mat_type)[mid][:, None].astype(jnp.float32),
+        j(scene.mat_albedo)[mid], j(scene.mat_spec)[mid],
+        j(scene.mat_emissive)[mid],
+        j(scene.mat_rough)[mid][:, None],
+        j(scene.mat_refidx)[mid][:, None],
+        j(scene.mat_refract)[mid],
+        j(scene.mat_stripe)[mid][:, None].astype(jnp.float32),
+    ], axis=1)
+    return row.astype(jnp.float32)
+
+
+def pt_bounce_supported(scene) -> bool:
+    """Static-only gate (callable on traced scenes): gradient sky and
+    point lights only — quad-light scenes and cubemap skies keep the
+    query-kernel + XLA path."""
+    from distributionraytracer_tpu.integrator.pathtracer import (
+        SKY_GRADIENT,
+    )
+    return (pt_supported(scene) and scene.sky_mode == SKY_GRADIENT
+            and scene.qlight_pos.shape[0] == 0)
+
+
+def _norm3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-24))
+    return x * inv, y * inv, z * inv
+
+
+def _fresnel_schlick1(cos_t, f0):
+    return f0 + (1.0 - f0) * jnp.maximum(1.0 - cos_t, 0.0) ** 5
+
+
+def _bounce_kernel(types, n_pl, rr, data_ref, mats_ref, lights_ref,
+                   ox, oy, oz, dx, dy, dz, tmr,
+                   c0, c1, c2, th0, th1, th2, alv,
+                   uch, ua0, ua1, ua2, ub0, ub1, ub2, urr,
+                   *outs):
+    (oxo, oyo, ozo, dxo, dyo, dzo,
+     c0o, c1o, c2o, t0o, t1o, t2o, alvo) = outs
+    o = (ox[:], oy[:], oz[:])
+    d = (dx[:], dy[:], dz[:])
+    time = tmr[:]
+    shape = time.shape
+    col = [c0[:], c1[:], c2[:]]
+    thr = [th0[:], th1[:], th2[:]]
+    alive = alv[:] > 0.0
+
+    # ---- closest hit, carrying the winner's material row ----
+    init = ((jnp.full(shape, BIG, jnp.float32),)
+            + tuple(jnp.zeros(shape, jnp.float32) for _ in range(3))
+            + tuple(jnp.zeros(shape, jnp.float32) for _ in range(16)))
+
+    def upd_closest(c, gid, t, n):
+        better = t < c[0]  # strict <: table order first-wins
+        out = [jnp.where(better, t, c[0])]
+        for k in range(3):
+            out.append(jnp.where(better, n[k], c[1 + k]))
+        for k in range(16):
+            out.append(jnp.where(better, mats_ref[gid, k], c[4 + k]))
+        return tuple(out)
+
+    cc = _fold(types, data_ref, o, d, time, upd_closest, init)
+    t_hit = cc[0]
+    hit = t_hit < BIG
+    nx, ny, nz = _norm3(cc[1], cc[2], cc[3])
+    m_typ = cc[4]
+    m_alb = list(cc[5:8])
+    m_spec = cc[8:11]
+    m_emis = cc[11:14]
+    m_rough = cc[14]
+    m_refidx = cc[15]
+    m_refract = cc[16:19]
+    m_stripe = cc[19]
+    t_safe = jnp.where(hit, t_hit, 1.0)
+    px = o[0] + d[0] * t_safe
+    py = o[1] + d[1] * t_safe
+    pz = o[2] + d[2] * t_safe
+    # striped background shade (P3D_RT.glsl:149)
+    shade = jnp.floor(jnp.mod(px, 1.0) * 2.0)
+    for k in range(3):
+        m_alb[k] = jnp.where(m_stripe > 0.5, shade, m_alb[k])
+
+    live_hit = alive & hit
+    emis_on = ((m_emis[0] != 0.0) | (m_emis[1] != 0.0)
+               | (m_emis[2] != 0.0))
+    g_em = live_hit & emis_on
+    for k in range(3):
+        col[k] = col[k] + jnp.where(g_em, m_emis[k] * thr[k], 0.0)
+
+    # ---- direct lighting: point lights with in-kernel shadow folds ----
+    vx, vy, vz = _norm3(d[0], d[1], d[2])
+    vx, vy, vz = -vx, -vy, -vz  # viewDir (P3D_RT.glsl:526)
+    is_gm = (m_typ == MT_METAL) | (m_typ == MT_PLASTIC)
+    is_pla = m_typ == MT_PLASTIC
+    for j in range(n_pl):
+        lx = lights_ref[j, 0] - px
+        ly = lights_ref[j, 1] - py
+        lz = lights_ref[j, 2] - pz
+        dist = jnp.sqrt(jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-24))
+        lx, ly, lz = lx / dist, ly / dist, lz / dist
+        # shadow fold (any_hit, tmin 1e-3 .. dist - 1e-3, time = 0)
+        so = (px + nx * EPS, py + ny * EPS, pz + nz * EPS)
+        sd = (lx, ly, lz)
+        max_d = dist - 1e-3
+
+        def upd_occ(occ, gid, t, _n):
+            return jnp.maximum(occ, jnp.where(t < max_d, 1.0, 0.0))
+
+        occ = _fold(types, data_ref, so, sd, jnp.zeros_like(time),
+                    upd_occ, jnp.zeros(shape, jnp.float32))
+        shadowed = occ > 0.0
+
+        ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+        # Blinn H = normalize(l + v); shin = 8/rough^4 - 2
+        hx2, hy2, hz2 = _norm3(lx + vx, ly + vy, lz + vz)
+        ndh = jnp.maximum(nx * hx2 + ny * hy2 + nz * hz2, 0.0)
+        shin = 8.0 / (m_rough ** 4 + EPS) - 2.0
+        spec_b = ndh ** shin
+        # GGX (common.glsl:243-298), V = viewDir for point lights
+        nov = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
+        cos_vh = jnp.maximum(vx * hx2 + vy * hy2 + vz * hz2, 0.0)
+        alpha2 = (m_rough * m_rough) ** 2
+        bb = ndh * ndh * (alpha2 - 1.0) + 1.0
+        Dg = alpha2 / (PI * bb * bb + EPS)
+        rr_ = 0.25 * m_rough
+        kk = rr_ * rr_ / 2.0
+        g1l = jnp.maximum(ndl, 0.0) / (ndl * (1.0 - kk) + kk + EPS)
+        g1v = jnp.maximum(nov, 0.0) / (nov * (1.0 - kk) + kk + EPS)
+        DG = (Dg * g1l * g1v) / (4.0 * nov * ndl + EPS)
+        ks_f = [_fresnel_schlick1(jnp.maximum(nov, 0.0), m_spec[k])
+                for k in range(3)]
+        lit = (nx * lx + ny * ly + nz * lz) > 0.0
+        gate = live_hit & lit & ~shadowed
+        for k in range(3):
+            ggx_k = DG * _fresnel_schlick1(cos_vh, m_spec[k])
+            spec_k = jnp.where(is_gm, ggx_k, m_spec[k] * spec_b)
+            diff_k = jnp.where(is_pla,
+                               (1.0 - ks_f[k]) * m_alb[k] / PI,
+                               m_alb[k] * ndl)
+            contrib = ((diff_k + spec_k) * lights_ref[j, 3 + k] * ndl)
+            col[k] = col[k] + jnp.where(gate, contrib * thr[k], 0.0)
+
+    # ---- scatter (common.glsl:300-407) ----
+    outside = (d[0] * nx + d[1] * ny + d[2] * nz) < 0.0
+    sgn = jnp.where(outside, 1.0, -1.0)
+    Nx, Ny, Nz = nx * sgn, ny * sgn, nz * sgn
+
+    def unit_sphere(u0, u1, u2):
+        h0 = u0[:] * 2.0 - 1.0
+        phi = u1[:] * 6.28318530718
+        # jnp.cbrt fails Mosaic lowering (closed_call); u ∈ [0,1)
+        r3 = jnp.power(jnp.maximum(u2[:], 0.0), 1.0 / 3.0)
+        s = jnp.sqrt(jnp.maximum(1.0 - h0 * h0, 0.0))
+        return (r3 * s * jnp.sin(phi), r3 * s * jnp.cos(phi), r3 * h0)
+
+    sax, say, saz = unit_sphere(ua0, ua1, ua2)
+    uvx, uvy, uvz = _norm3(sax, say, saz)
+    sbx, sby, sbz = unit_sphere(ub0, ub1, ub2)
+
+    # DIFFUSE: dir = N + unit vector, unnormalized
+    ddx, ddy, ddz = Nx + uvx, Ny + uvy, Nz + uvz
+    a_dif = [m_alb[k] * jnp.maximum(
+        Nx * ddx + Ny * ddy + Nz * ddz, 0.0) for k in range(3)]
+
+    # METAL: reflect + rough fuzz
+    ddn = d[0] * Nx + d[1] * Ny + d[2] * Nz
+    rfx = d[0] - 2.0 * ddn * Nx
+    rfy = d[1] - 2.0 * ddn * Ny
+    rfz = d[2] - 2.0 * ddn * Nz
+    mx, my, mz = _norm3(rfx + sbx * m_rough, rfy + sby * m_rough,
+                        rfz + sbz * m_rough)
+    ok_met = (mx * Nx + my * Ny + mz * Nz) > 0.0
+
+    # DIELECTRIC
+    ior1 = jnp.where(outside, 1.0, m_refidx)
+    ior2 = jnp.where(outside, m_refidx, 1.0)
+    eta = ior1 / ior2
+    vdn = vx * Nx + vy * Ny + vz * Nz
+    vtx = Nx * vdn - vx
+    vty = Ny * vdn - vy
+    vtz = Nz * vdn - vz
+    sin_i = jnp.sqrt(jnp.maximum(vtx * vtx + vty * vty + vtz * vtz, 0.0))
+    sin_t = eta * sin_i
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 0.0))
+    cos_sel = jnp.where(ior1 > ior2, cos_t, vdn)
+    r0 = ((ior1 - ior2) / (ior1 + ior2)) ** 2
+    schl = r0 + (1.0 - r0) * jnp.maximum(1.0 - cos_sel, 0.0) ** 5
+    refl_prob = jnp.where(sin_t >= 1.0, 1.0, schl)
+    take_refl = uch[:] < refl_prob
+    ix, iy, iz = _norm3(d[0], d[1], d[2])
+    ndi = Nx * ix + Ny * iy + Nz * iz
+    kref = 1.0 - eta * eta * (1.0 - ndi * ndi)
+    kok = kref >= 0.0
+    rt = eta * ndi + jnp.sqrt(jnp.maximum(kref, 0.0))
+    rrx = jnp.where(kok, eta * ix - rt * Nx, 0.0)
+    rry = jnp.where(kok, eta * iy - rt * Ny, 0.0)
+    rrz = jnp.where(kok, eta * iz - rt * Nz, 0.0)
+    qx, qy, qz = _norm3(rrx + sbx * m_rough, rry + sby * m_rough,
+                        rrz + sbz * m_rough)
+    dex = jnp.where(take_refl, mx, qx)
+    dey = jnp.where(take_refl, my, qy)
+    dez = jnp.where(take_refl, mz, qz)
+    t_beer = jnp.where(hit, t_hit, 0.0)
+    a_die = [jnp.where(take_refl | outside, 1.0,
+                       jnp.exp(-m_refract[k] * t_beer))
+             for k in range(3)]
+
+    # PLASTIC
+    lpx = o[0] - px
+    lpy = o[1] - py
+    lpz = o[2] - pz
+    lpx, lpy, lpz = _norm3(lpx, lpy, lpz)
+    hpx, hpy, hpz = _norm3(vx + lpx, vy + lpy, vz + lpz)
+    cos_p = vx * hpx + vy * hpy + vz * hpz
+    f_vec = [_fresnel_schlick1(cos_p, m_spec[k]) for k in range(3)]
+    prob = (f_vec[0] + f_vec[1] + f_vec[2]) / 3.0
+    take_spec = uch[:] < prob
+    gate_p = (mx * Nx + my * Ny + mz * Nz) > 0.0
+    pdx, pdy, pdz = _norm3(Nx + sbx, Ny + sby, Nz + sbz)
+    plx = jnp.where(take_spec, mx, pdx)
+    ply = jnp.where(take_spec, my, pdy)
+    plz = jnp.where(take_spec, mz, pdz)
+
+    is_dif = m_typ == MT_DIFFUSE
+    is_met = m_typ == MT_METAL
+    is_die = m_typ == MT_DIELECTRIC
+
+    def sel(a_dif_, a_met_, a_die_, a_pla_):
+        r = jnp.where(is_dif, a_dif_, a_pla_)
+        r = jnp.where(is_met, a_met_, r)
+        return jnp.where(is_die, a_die_, r)
+
+    new_dx = sel(ddx, mx, dex, plx)
+    new_dy = sel(ddy, my, dey, ply)
+    new_dz = sel(ddz, mz, dez, plz)
+    off = jnp.where(is_die & ~take_refl, -EPS, EPS)
+    new_ox = px + Nx * off
+    new_oy = py + Ny * off
+    new_oz = pz + Nz * off
+    atten = []
+    for k in range(3):
+        a_spec_k = jnp.where(gate_p,
+                             m_spec[k] / jnp.maximum(prob, 1e-8), 1.0)
+        a_dpla_k = ((1.0 - f_vec[k]) * m_alb[k] / PI
+                    / jnp.maximum(1.0 - prob, 1e-8))
+        a_pla_k = jnp.where(take_spec, a_spec_k, a_dpla_k)
+        atten.append(sel(a_dif[k], m_spec[k], a_die[k], a_pla_k))
+    ok = (~is_met) | ok_met  # bool select_n unsupported in Mosaic
+
+    # no-scatter absorbed: col += thr * emissive (P3D_RT.glsl:641-645)
+    g_ab = live_hit & ~ok
+    for k in range(3):
+        col[k] = col[k] + jnp.where(g_ab, thr[k] * m_emis[k], 0.0)
+        thr[k] = jnp.where(live_hit & ok, thr[k] * atten[k], thr[k])
+
+    # Russian roulette (P3D_RT.glsl:651-656)
+    if rr:
+        p = jnp.maximum(thr[0], jnp.maximum(thr[1], thr[2]))
+        killed = urr[:] > p
+        boost = 1.0 / jnp.maximum(p, 1e-12)
+        g_rr = live_hit & ok & ~killed
+        for k in range(3):
+            thr[k] = jnp.where(g_rr, thr[k] * boost, thr[k])
+    else:
+        killed = jnp.zeros(shape, jnp.bool_)
+
+    # miss: gradient sky (P3D_RT.glsl:659-672, scene-0 mode)
+    tsky = jnp.clip(0.8 * (d[1] + 1.0), 0.0, 1.0)
+    sky = (1.0 - tsky + tsky * 0.5, 1.0 - tsky + tsky * 0.7,
+           1.0 - tsky + tsky * 1.0)
+    miss = alive & ~hit
+    for k in range(3):
+        col[k] = col[k] + jnp.where(miss, thr[k] * sky[k], 0.0)
+
+    alive2 = alive & hit & ok & ~killed
+    oxo[:] = jnp.where(alive2, new_ox, o[0])
+    oyo[:] = jnp.where(alive2, new_oy, o[1])
+    ozo[:] = jnp.where(alive2, new_oz, o[2])
+    dxo[:] = jnp.where(alive2, new_dx, d[0])
+    dyo[:] = jnp.where(alive2, new_dy, d[1])
+    dzo[:] = jnp.where(alive2, new_dz, d[2])
+    c0o[:] = col[0]
+    c1o[:] = col[1]
+    c2o[:] = col[2]
+    t0o[:] = thr[0]
+    t1o[:] = thr[1]
+    t2o[:] = thr[2]
+    alvo[:] = jnp.where(alive2, 1.0, 0.0)
+
+
+def pt_bounce(scene, o, d, col, thr, alive, time, uch, u3a, u3b, urr,
+              rr: bool = True, interpret: bool = False):
+    """One fused bounce step; state in, state out (see _bounce_kernel)."""
+    data, mats, types = pack_pt(scene)
+    mrows = pack_pt_mats(scene)
+    lights = jnp.concatenate(
+        [scene.plight_pos, scene.plight_color], axis=1).astype(jnp.float32)
+    n_pl = scene.plight_pos.shape[0]
+    R = o.shape[0]
+    rows = max(-(-R // LANES), 1)
+    rows = -(-rows // BOUNCE_ROWS) * BOUNCE_ROWS
+    grid = rows // BOUNCE_ROWS
+
+    pv = lambda a: _pad_view(a, rows)
+    rays = [pv(x) for x in (
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], time,
+        col[:, 0], col[:, 1], col[:, 2], thr[:, 0], thr[:, 1], thr[:, 2],
+        alive.astype(jnp.float32),
+        uch, u3a[:, 0], u3a[:, 1], u3a[:, 2],
+        u3b[:, 0], u3b[:, 1], u3b[:, 2], urr)]
+    spec = pl.BlockSpec((BOUNCE_ROWS, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    fshape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    tab_specs = [
+        pl.BlockSpec(data.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(mrows.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(lights.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    kern = functools.partial(_bounce_kernel, types, n_pl, rr)
+    outs = pl.pallas_call(
+        kern, grid=(grid,),
+        in_specs=tab_specs + [spec] * 22,
+        out_specs=[spec] * 13,
+        out_shape=[fshape] * 13,
+        interpret=interpret,
+    )(data, mrows, lights, *rays)
+    fl = lambda a: a.reshape(-1)[:R]
+    o2 = jnp.stack([fl(outs[0]), fl(outs[1]), fl(outs[2])], axis=-1)
+    d2 = jnp.stack([fl(outs[3]), fl(outs[4]), fl(outs[5])], axis=-1)
+    col2 = jnp.stack([fl(outs[6]), fl(outs[7]), fl(outs[8])], axis=-1)
+    thr2 = jnp.stack([fl(outs[9]), fl(outs[10]), fl(outs[11])], axis=-1)
+    alive2 = fl(outs[12]) > 0.0
+    return o2, d2, col2, thr2, alive2

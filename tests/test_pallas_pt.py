@@ -60,3 +60,36 @@ def test_render_pt_kernel_backend_statistics():
     assert np.isfinite(b).all()
     assert (np.abs(a - b) > 1e-3).mean() < 0.05
     assert abs(a.mean() - b.mean()) < 5e-3
+
+
+def test_fused_bounce_matches_jnp():
+    """The fused per-bounce megakernel (closest + shadow folds + direct
+    + scatter + RR + sky in one pallas_call) must reproduce the jnp
+    ray_color on the same key schedule (float-association tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from distributionraytracer_tpu.config import RenderConfig
+    from distributionraytracer_tpu.integrator.pathtracer import ray_color
+    from distributionraytracer_tpu.ops.pallas_pt import pt_bounce_supported
+    from distributionraytracer_tpu.scene.pt_scenes import scene0
+
+    sc = scene0()
+    assert pt_bounce_supported(sc)
+    R = 384
+    rng = np.random.default_rng(3)
+    o = np.tile(np.array([[6, 1.6, -6]], np.float32), (R, 1))
+    tgt = rng.uniform(-3, 3, (R, 3)).astype(np.float32)
+    tgt[:, 1] = rng.uniform(0, 2, R)
+    d = tgt - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    t = rng.uniform(0, 1, R).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    cfg = RenderConfig(max_bounces=4)
+    ref = np.asarray(ray_color(sc, cfg.replace(pallas="off"),
+                               jnp.asarray(o), jnp.asarray(d),
+                               jnp.asarray(t), key))
+    new = np.asarray(ray_color(sc, cfg.replace(pallas="on"),
+                               jnp.asarray(o), jnp.asarray(d),
+                               jnp.asarray(t), key))
+    np.testing.assert_allclose(new, ref, rtol=2e-3, atol=2e-3)
