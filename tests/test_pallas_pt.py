@@ -74,7 +74,7 @@ def test_fused_bounce_matches_jnp():
     from distributionraytracer_tpu.ops.pallas_pt import pt_bounce_supported
     from distributionraytracer_tpu.scene.pt_scenes import scene0
 
-    sc = scene0()
+    sc = scene0().device_put()
     assert pt_bounce_supported(sc)
     R = 384
     rng = np.random.default_rng(3)
