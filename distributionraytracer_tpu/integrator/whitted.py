@@ -250,7 +250,17 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
     ``light_sample``: (R,3) per-ray sample for quad lights (only .x/.y used),
     exactly the ``lightSample`` argument of ``rayTracing`` (main.cpp:294).
     """
+    use_fused = False
     if inter is None:
+        # fused level megakernel (ops.pallas_whitted): one pallas_call
+        # per tree level instead of the closest/material/shadow/spawn
+        # XLA stages — the brute path's HBM pump (SURVEY §7 step 11)
+        import jax as _jax
+        from distributionraytracer_tpu.ops import pallas_whitted as _pw
+        _backend = _jax.default_backend()
+        _use_pallas = (cfg.pallas != "off"
+                       and (cfg.pallas == "on" or _backend != "cpu"))
+        use_fused = _use_pallas and _pw.fused_supported(scene, cfg)
         inter = brute_intersectors(scene, cfg)
     elif cfg.compact_lanes:
         inter = compacting_intersectors(inter)
@@ -295,19 +305,32 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
         flat = lambda a: jnp.swapaxes(a, 0, 1).reshape(
             (R * n,) + a.shape[2:]) if n > 1 else a.reshape(
             (R,) + a.shape[2:])
-        hit: HitResult = inter.closest(flat(node_o), flat(node_d),
-                                       flat(node_t), valid=flat(node_valid))
-        res = _shade_node(
-            scene, cfg, inter,
-            flat(node_o), flat(node_d), flat(node_t), flat(node_ior),
-            flat(node_ls), flat(node_valid), hit,
-            spawn_children=(depth <= cfg.max_depth and branching > 0))
+        spawn = depth <= cfg.max_depth and branching > 0
+        if use_fused:
+            from distributionraytracer_tpu.ops import pallas_whitted as _pw
+            res = _pw.fused_level(
+                scene, cfg, flat(node_o), flat(node_d), flat(node_t),
+                flat(node_ior), flat(node_ls), flat(node_valid),
+                spawn=spawn, interpret=_backend == "cpu")
+            hit_flags = res.pop("_hit")
+            res["miss_color"] = jnp.broadcast_to(
+                clamp_color(scene.bg_color), (R * n, 3))
+        else:
+            hit: HitResult = inter.closest(
+                flat(node_o), flat(node_d), flat(node_t),
+                valid=flat(node_valid))
+            res = _shade_node(
+                scene, cfg, inter,
+                flat(node_o), flat(node_d), flat(node_t), flat(node_ior),
+                flat(node_ls), flat(node_valid), hit,
+                spawn_children=spawn)
+            hit_flags = hit.hit
         unflat = lambda a: jnp.swapaxes(
             a.reshape((n, R) + a.shape[1:]), 0, 1)
         lvl.append({k: unflat(v) for k, v in res.items()})
         rays_traced += jnp.sum(flat(node_valid).astype(jnp.float32))
         shadow_rays += st.n_lights * jnp.sum(
-            (flat(node_valid) & hit.hit).astype(jnp.float32))
+            (flat(node_valid) & hit_flags).astype(jnp.float32))
 
         if depth <= cfg.max_depth and branching:
             cur = lvl[-1]

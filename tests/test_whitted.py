@@ -199,3 +199,29 @@ def test_compact_lanes_output_equivalent(scenes_dir):
         r = Renderer(scene, cfg)
         imgs[compact] = np.asarray(r.render(jax.random.PRNGKey(0)))
     np.testing.assert_array_equal(imgs[False], imgs[True])
+
+
+def test_fused_level_matches_staged(scenes_dir):
+    """The fused Whitted level megakernel (ops.pallas_whitted) must match
+    the staged closest/shade/shadow pipeline on a full refl+refr scene
+    (interpret mode; cfg.pallas='on' forces the kernels on CPU)."""
+    import dataclasses
+    import os
+
+    import jax
+    import numpy as np
+    from distributionraytracer_tpu.integrator.render import default_config
+    from distributionraytracer_tpu.renderer import Renderer
+    from distributionraytracer_tpu.scene import load_p3f
+
+    scene = load_p3f(os.path.join(scenes_dir, "teste.p3f"))
+    scene = dataclasses.replace(
+        scene, static=dataclasses.replace(scene.static, res_x=32,
+                                          res_y=24, spp=1))
+    imgs = {}
+    for label, pallas in (("staged", "off"), ("fused", "on")):
+        cfg = default_config(scene).replace(pallas=pallas)
+        r = Renderer(scene, cfg)
+        imgs[label] = np.asarray(r.render(jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(imgs["fused"], imgs["staged"],
+                               rtol=2e-4, atol=2e-4)
