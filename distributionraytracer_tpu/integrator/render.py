@@ -163,7 +163,8 @@ def _block_perm(H: int, W: int, S: int, tile: int = 1024) -> np.ndarray:
 def render_from_samples(scene: SceneData, cfg: RenderConfig,
                         samples: SampleSet, row_offset=0,
                         inter: Optional[Intersectors] = None,
-                        average: bool = True, return_rays: bool = False):
+                        average: bool = True, return_rays: bool = False,
+                        fused_grid=None):
     """Trace a SampleSet; pure function, safe to jit / shard_map / grad.
 
     ``return_rays=True`` additionally returns the integrator's exact
@@ -198,7 +199,8 @@ def render_from_samples(scene: SceneData, cfg: RenderConfig,
             )
             color, stats = trace_whitted_soft(scene, cfg, *args)
         else:
-            color, stats = trace_whitted(scene, cfg, *args, inter=inter)
+            color, stats = trace_whitted(scene, cfg, *args, inter=inter,
+                                         fused_grid=fused_grid)
         return color, stats["rays_traced"] + stats["shadow_rays"]
 
     if nt == 1:

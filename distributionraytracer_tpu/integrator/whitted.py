@@ -244,24 +244,31 @@ def _shadow_terms(scene, cfg, accel, hit_p, N, light_pos, inter):
 
 
 def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
-                  light_sample, inter: Optional[Intersectors] = None):
+                  light_sample, inter: Optional[Intersectors] = None,
+                  fused_grid=None):
     """Trace a batch of primary rays; returns (color (R,3), stats dict).
 
     ``light_sample``: (R,3) per-ray sample for quad lights (only .x/.y used),
     exactly the ``lightSample`` argument of ``rayTracing`` (main.cpp:294).
     """
     use_fused = False
+    _backend = None
     if inter is None:
         # fused level megakernel (ops.pallas_whitted): one pallas_call
         # per tree level instead of the closest/material/shadow/spawn
-        # XLA stages — the brute path's HBM pump (SURVEY §7 step 11)
+        # XLA stages — the brute path's HBM pump (SURVEY §7 step 11).
+        # ``fused_grid`` (bbox pair) switches it to the uniform grid's
+        # observable semantics (the caller guarantees eligibility).
         import jax as _jax
         from distributionraytracer_tpu.ops import pallas_whitted as _pw
         _backend = _jax.default_backend()
-        _use_pallas = (cfg.pallas != "off"
-                       and (cfg.pallas == "on" or _backend != "cpu"))
-        use_fused = _use_pallas and _pw.fused_supported(scene, cfg)
-        inter = brute_intersectors(scene, cfg)
+        if fused_grid is not None:
+            use_fused = True
+        else:
+            _use_pallas = (cfg.pallas != "off"
+                           and (cfg.pallas == "on" or _backend != "cpu"))
+            use_fused = _use_pallas and _pw.fused_supported(scene, cfg)
+            inter = brute_intersectors(scene, cfg)
     elif cfg.compact_lanes:
         inter = compacting_intersectors(inter)
     st = scene.static
@@ -311,10 +318,15 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, time,
             res = _pw.fused_level(
                 scene, cfg, flat(node_o), flat(node_d), flat(node_t),
                 flat(node_ior), flat(node_ls), flat(node_valid),
-                spawn=spawn, interpret=_backend == "cpu")
+                spawn=spawn, interpret=_backend == "cpu",
+                grid_bbox=fused_grid)
             hit_flags = res.pop("_hit")
-            res["miss_color"] = jnp.broadcast_to(
-                clamp_color(scene.bg_color), (R * n, 3))
+            if st.has_skybox:
+                res["miss_color"] = clamp_color(skybox_color(
+                    scene.sky_faces, scene.sky_res, flat(node_d)))
+            else:
+                res["miss_color"] = jnp.broadcast_to(
+                    clamp_color(scene.bg_color), (R * n, 3))
         else:
             hit: HitResult = inter.closest(
                 flat(node_o), flat(node_d), flat(node_t),

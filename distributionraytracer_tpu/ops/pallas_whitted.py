@@ -41,7 +41,9 @@ OFFSET = np.float32(1e-4)  # secondary/shadow ray offset (main.cpp:378)
 def fused_supported(scene, cfg) -> bool:
     from distributionraytracer_tpu.ops import pallas_intersect as _pi
     st = scene.static
-    return (_pi.pallas_supported(scene) and not st.has_skybox
+    # skybox scenes fuse too: the miss color is computed in XLA by the
+    # caller (the texel gather never was in the kernels)
+    return (_pi.pallas_supported(scene)
             and cfg.soft_shadow == 0.0 and st.n_lights > 0)
 
 
@@ -66,7 +68,8 @@ def _norm3(x, y, z):
 
 
 def _level_kernel(obj_types, motion_blur, light_quads, spawn, ref_shadow,
-                  data_ref, mats_ref, mrow_ref, lights_ref,
+                  grid_mode,
+                  data_ref, mats_ref, mrow_ref, lights_ref, gbox_ref,
                   ox, oy, oz, dx, dy, dz, tmr, iorr, lsx, lsy, vd,
                   *outs):
     del mats_ref
@@ -76,6 +79,20 @@ def _level_kernel(obj_types, motion_blur, light_quads, spawn, ref_shadow,
     ior1 = iorr[:]
     shape = time.shape
     valid = vd[:] > 0.0
+
+    def grid_slab(o3, d3):
+        """Init_Traverse's slab (grid.cpp:104-171 via
+        accel.grid._init_traverse_batched): (ok, t1)."""
+        t0 = t1 = None
+        for k in range(3):
+            a = 1.0 / d3[k]
+            lo = gbox_ref[0, k]
+            hi = gbox_ref[0, 3 + k]
+            tn = jnp.where(a >= 0.0, (lo - o3[k]) * a, (hi - o3[k]) * a)
+            tf = jnp.where(a >= 0.0, (hi - o3[k]) * a, (lo - o3[k]) * a)
+            t0 = tn if t0 is None else jnp.maximum(t0, tn)
+            t1 = tf if t1 is None else jnp.minimum(t1, tf)
+        return ~((t0 > t1) | (t1 < 0.0)), t1
 
     # ---- closest hit: t, n3, gid, 13 material fields ----
     init = ((jnp.full(shape, np.float32(3.402823466e38), jnp.float32),)
@@ -98,6 +115,11 @@ def _level_kernel(obj_types, motion_blur, light_quads, spawn, ref_shadow,
                        upd, init)
     t_hit = cc[0]
     hit = cc[4] >= 0.0
+    if grid_mode:
+        # walking out of the grid drops the record; failed slab init is
+        # a miss (grid.cpp:258-304 via accel.pallas_grid)
+        g_ok, g_t1 = grid_slab(o, d)
+        hit = hit & g_ok & (t_hit < g_t1)
     gid = cc[4]
     nx, ny, nz = _norm3(cc[1], cc[2], cc[3])
     cd = cc[5:8]
@@ -154,14 +176,25 @@ def _level_kernel(obj_types, motion_blur, light_quads, spawn, ref_shadow,
         so = (sox, soy, soz)
         sd = (lx, ly, lz)
 
-        def upd_occ(occ, g2, t, _n, sdist=sdist):
-            g2f = jnp.asarray(g2, jnp.int32).astype(jnp.float32)
-            hit_now = (t < sdist) & (t > 1e-4) & (gid != g2f)
-            return jnp.maximum(occ, jnp.where(hit_now, 1.0, 0.0))
+        if grid_mode:
+            # grid occluder compare: strict t < dist, no self-exclusion
+            # (grid.cpp:330-352); Init_Traverse failure counts as
+            # shadowed (grid.cpp:321-324)
+            def upd_occ(occ, g2, t, _n, sdist=sdist):
+                return jnp.maximum(occ,
+                                   jnp.where(t < sdist, 1.0, 0.0))
+        else:
+            def upd_occ(occ, g2, t, _n, sdist=sdist):
+                g2f = jnp.asarray(g2, jnp.int32).astype(jnp.float32)
+                hit_now = (t < sdist) & (t > 1e-4) & (gid != g2f)
+                return jnp.maximum(occ, jnp.where(hit_now, 1.0, 0.0))
 
         occ = _fold_objects(obj_types, motion_blur, data_ref, so, sd,
                             jnp.zeros_like(time), upd_occ,
                             jnp.zeros(shape, jnp.float32))
+        if grid_mode:
+            s_ok, _ = grid_slab(so, sd)
+            occ = jnp.maximum(occ, jnp.where(s_ok, 0.0, 1.0))
         lit = hit_mask & (occ == 0.0)
         for k in range(3):
             contrib = cd[k] * (kd * ndl) + cs[k] * (ks * spec)
@@ -235,16 +268,25 @@ def _level_kernel(obj_types, motion_blur, light_quads, spawn, ref_shadow,
 
 
 def fused_level(scene, cfg, o, d, time, ior, light_sample, valid,
-                spawn: bool, interpret: bool = False):
+                spawn: bool, interpret: bool = False, grid_bbox=None):
     """One fused Whitted tree level; returns the ``_shade_node`` res dict
-    (minus miss_color, which the caller adds — it is scene-constant
-    without a skybox)."""
+    (minus miss_color, which the caller adds in XLA).  ``grid_bbox``
+    (bbox_min, bbox_max) switches the kernel to the uniform grid's
+    observable semantics (slab gates + grid occluder compare) for the
+    cost-based brute backend on grid scenes."""
     st = scene.static
     (data, mats2), _ = _table_specs(scene)
     mrow = pack_whitted_mats(scene)
     lights = jnp.concatenate(
         [jnp.asarray(scene.light_pos), jnp.asarray(scene.light_e1),
          jnp.asarray(scene.light_e2)], axis=1).astype(jnp.float32)
+    if grid_bbox is None:
+        gbox = jnp.zeros((1, 8), jnp.float32)
+    else:
+        gbox = jnp.concatenate(
+            [jnp.asarray(grid_bbox[0], jnp.float32).reshape(3),
+             jnp.asarray(grid_bbox[1], jnp.float32).reshape(3),
+             jnp.zeros((2,), jnp.float32)]).reshape(1, 8)
     R = o.shape[0]
     rows = max(-(-R // LANES), 1)
     rows = -(-rows // LEVEL_ROWS) * LEVEL_ROWS
@@ -267,19 +309,21 @@ def fused_level(scene, cfg, o, d, time, ior, light_sample, valid,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec(lights.shape, lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec(gbox.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
     ]
     n_out = 4 + (25 if spawn else 0)
     kern = functools.partial(
         _level_kernel, st.obj_types, cfg.motion_blur,
         tuple(bool(q) for q in st.light_quad), spawn,
-        cfg.shadow_mode == "reference")
+        cfg.shadow_mode == "reference", grid_bbox is not None)
     outs = pl.pallas_call(
         kern, grid=(grid,),
         in_specs=tab_specs + [spec] * 11,
         out_specs=[spec] * n_out,
         out_shape=[fshape] * n_out,
         interpret=interpret,
-    )(data, mats2, mrow, lights, *rays)
+    )(data, mats2, mrow, lights, gbox, *rays)
     fl = lambda a: a.reshape(-1)[:R]
     v3 = lambda i: jnp.stack([fl(outs[i]), fl(outs[i + 1]),
                               fl(outs[i + 2])], axis=-1)

@@ -51,6 +51,11 @@ def _render_grid(scene, cfg, grid: GridArrays, pg, samples, row_offset,
         )
         interp = jax.default_backend() == "cpu"
         if _use_cost_brute(scene, cfg):
+            # NOTE: the fused level megakernel has a grid mode
+            # (render_from_samples(fused_grid=...)); measured 10% slower
+            # than the staged cost-brute here because these scenes are
+            # dominated by the per-level skybox texel gather, which both
+            # paths pay in XLA.  Revisit when the gather is solved.
             inter = make_brute_grid_intersectors(
                 scene, pg, cfg.motion_blur, interpret=interp)
         else:

@@ -225,3 +225,42 @@ def test_fused_level_matches_staged(scenes_dir):
         imgs[label] = np.asarray(r.render(jax.random.PRNGKey(0)))
     np.testing.assert_allclose(imgs["fused"], imgs["staged"],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_grid_matches_staged_brute(scenes_dir):
+    """The fused level kernel's GRID mode (slab gates + grid occluder
+    compare in-kernel) must match the staged cost-brute pipeline — the
+    same tested-set semantics, so only float association may differ."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from distributionraytracer_tpu.accel.pallas_grid import (
+        make_brute_grid_intersectors,
+    )
+    from distributionraytracer_tpu.integrator.render import (
+        SampleSet, default_config, make_samples, render_from_samples,
+    )
+    from distributionraytracer_tpu.renderer import Renderer
+    from distributionraytracer_tpu.scene import load_p3f
+
+    scene = load_p3f(os.path.join(scenes_dir, "balls_box.p3f"))
+    cfg = default_config(scene).replace(accel_backend="pallas",
+                                        accel_cost_threshold=0,
+                                        pallas="on")
+    r = Renderer(scene, cfg)
+    samples = make_samples(scene, cfg, jax.random.PRNGKey(0))
+    sl = lambda a: a[200:204]
+    chunk = SampleSet(sl(samples.pixel), sl(samples.light),
+                      sl(samples.lens), sl(samples.time))
+    pg = r.grid_pallas
+    staged = np.asarray(render_from_samples(
+        scene.device_put(), cfg, chunk, row_offset=jnp.float32(200),
+        inter=make_brute_grid_intersectors(scene, pg, False,
+                                           interpret=True)))
+    fused = np.asarray(render_from_samples(
+        scene.device_put(), cfg, chunk, row_offset=jnp.float32(200),
+        inter=None, fused_grid=(pg.bbox_min, pg.bbox_max)))
+    diff = np.abs(staged - fused).max(axis=-1)
+    assert (diff > 1e-2).mean() < 0.005, (diff > 1e-2).mean()
