@@ -10,7 +10,9 @@ size?  Reports, for image-ordered and shuffled primary rays:
 - derived ns cost per node visit and per leaf object test (via a linear
   fit over the two measured workloads).
 
-Usage: python tools/profile_packet.py [scene] [--res N]
+Usage: python tools/profile_packet.py [scene] [legacy]
+(default profiles the production grouped kernel; "legacy" profiles the
+round-3 union-walk kernel for comparison)
 """
 
 import os
@@ -28,9 +30,17 @@ SCENES = "/root/reference/DistributionRayTracer/P3D_Scenes"
 
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "dragon_assignment1"
-    from distributionraytracer_tpu.accel.pallas_bvh import (
-        TILE, make_pallas_bvh_intersectors, profile_closest,
-    )
+    legacy = "legacy" in sys.argv[2:]
+    if legacy:
+        from distributionraytracer_tpu.accel.pallas_bvh import (
+            TILE, make_pallas_bvh_intersectors as make_inter,
+            profile_closest,
+        )
+    else:
+        from distributionraytracer_tpu.accel.pallas_packet import (
+            TILE, make_grouped_intersectors as make_inter,
+            profile_closest,
+        )
     from distributionraytracer_tpu.ops.camera import primary_rays
     from distributionraytracer_tpu.renderer import build_accel
     from distributionraytracer_tpu.scene import load_p3f
@@ -40,7 +50,8 @@ def main():
 
     scene = load_p3f(os.path.join(SCENES, f"{name}.p3f"))
     st = scene.static
-    ab = build_accel(scene)
+    ab = build_accel(scene,
+                     packet_kernel="legacy" if legacy else "grouped")
     if ab.pallas is None:
         print("no pallas tables for this scene")
         return
@@ -50,10 +61,16 @@ def main():
     else:
         tabs = ab.pallas
         shadow_mode = "bvh"
-    n_nodes = tabs.node_tab.shape[1]
-    n_objs = tabs.obj_tab.shape[1]
-    print(f"scene={name} objects={st.n_objects} accel={int(st.accel)} "
-          f"node_tab={tabs.node_tab.shape} obj_tab={tabs.obj_tab.shape}")
+    if legacy:
+        n_nodes = tabs.node_tab.shape[1]
+        print(f"scene={name} objects={st.n_objects} "
+              f"accel={int(st.accel)} node_tab={tabs.node_tab.shape} "
+              f"obj_tab={tabs.obj_tab.shape} (LEGACY kernel)")
+    else:
+        n_nodes = tabs.n_nodes
+        print(f"scene={name} objects={st.n_objects} "
+              f"accel={int(st.accel)} nodes={n_nodes} "
+              f"node_g={tabs.node_g.shape} obj_g={tabs.obj_g.shape}")
 
     # image-ordered primary rays at native res, center pixel sample
     H, W = st.res_y, st.res_x
@@ -71,8 +88,7 @@ def main():
     perm = np.random.RandomState(0).permutation(R)
     os_, ds_ = o[perm], d[perm]
 
-    inter = make_pallas_bvh_intersectors(scene, tabs,
-                                         shadow_mode=shadow_mode)
+    inter = make_inter(scene, tabs, shadow_mode=shadow_mode)
     f = jax.jit(lambda o, d, t: inter.closest(o, d, t).t)
 
     rows = {}
