@@ -518,12 +518,14 @@ def run_full():
         results["scenes"].append(row)
         print("# " + json.dumps(row), file=sys.stderr)
 
-    try:
-        results["packet_profile"] = measure_packet_profile()
-        print("# " + json.dumps(results["packet_profile"]),
-              file=sys.stderr)
-    except Exception as e:
-        results["packet_profile"] = {"error": repr(e)[:200]}
+    results["packet_profile"] = []
+    for pname in ("dragon_assignment1", "balls_high"):
+        try:
+            row = measure_packet_profile(pname)
+        except Exception as e:
+            row = {"scene": pname, "error": repr(e)[:200]}
+        results["packet_profile"].append(row)
+        print("# " + json.dumps(row), file=sys.stderr)
 
     try:
         results["pt"], _ = measure_pt()
