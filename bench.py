@@ -257,7 +257,12 @@ def measure_scene(name, repeats=2):
     primary = st.res_x * st.res_y * S
     accel = {0: "none", 1: "grid", 2: "bvh"}.get(int(st.accel), "?")
     return {
-        "scene": name, "accel": accel, "objects": int(st.n_objects),
+        "scene": name, "accel": accel,
+        # the backend the renderer actually routed to (cost-brute /
+        # grouped-packet / fused-level / ...), not the declared accel —
+        # VERDICT r4 weak #4
+        "backend": r.executed_backend(),
+        "objects": int(st.n_objects),
         "res": [st.res_x, st.res_y], "spp": int(st.spp),
         "samples_traced": int(primary),
         "total_rays": int(nrays),
@@ -567,6 +572,17 @@ def regen_parity_tables(results):
 
     accel_label = {"none": "none (Pallas megakernel)",
                    "grid": "grid packet", "bvh": "BVH packet"}
+    # rows carry the routed backend since r5; label with it directly
+    backend_label = {
+        "fused-level": "none (fused level kernel)",
+        "brute-megakernel": "none (Pallas megakernel)",
+        "brute-xla": "none (XLA brute)",
+        "cost-brute": "cost-brute megakernel",
+        "grid-packet": "grid packet",
+        "grouped-packet": "BVH grouped packet",
+        "legacy-packet": "BVH packet (legacy)",
+        "grid-xla": "grid (XLA)", "bvh-xla": "BVH (XLA)",
+    }
     lines = [
         marker + " (TPU v5e, native res, scene-default spp)", "",
         "GENERATED by `bench.py --full` from `BENCH_SCENES.json` — do "
@@ -586,9 +602,11 @@ def regen_parity_tables(results):
         res = f"{row['res'][0]}x{row['res'][1]}/{row['spp']}"
         first = (f"{row['first_render_s']:.1f}s "
                  f"({row.get('compile_cache', '?')})")
+        label = (backend_label.get(row["backend"], row["backend"])
+                 if "backend" in row
+                 else accel_label.get(row["accel"], row["accel"]))
         lines.append(
-            f"| {row['scene']} | {accel_label.get(row['accel'],
-                                                  row['accel'])} "
+            f"| {row['scene']} | {label} "
             f"| {row['objects']:,} | {res} | {first} "
             f"| {row['render_s']:.3f}s | {row['mrays_s']} |")
     hl = results.get("headline") or {}

@@ -86,7 +86,6 @@ OBJ_ROWS = OBJ_FIELDS * GROUP  # 112
 # leaf meta: meta = obj_group_first * 16 + n_groups (> 0 iff leaf).
 # Exact in f32 while obj_group_first < 2^19.
 MAX_LEAF_GROUPS = 9  # n_groups <= 8
-SPAN_CAP = 8  # max object-group span per node group (static unroll)
 
 # Leaf size the packet tree is collapsed to (objects; GROUPED_LEAF // 8
 # object groups per leaf).  Coarser leaves halve the node count per
@@ -113,20 +112,22 @@ class GroupedBVH:
     bound must be a Python int under jit).
     """
 
-    __slots__ = ("node_g", "obj_g", "og_base", "n_nodes")
+    __slots__ = ("node_g", "obj_g", "og_base", "n_nodes", "n_groups")
 
-    def __init__(self, node_g, obj_g, og_base, n_nodes):
+    def __init__(self, node_g, obj_g, og_base, n_nodes, n_groups):
         self.node_g = node_g
         self.obj_g = obj_g
         self.og_base = og_base
         self.n_nodes = n_nodes
+        self.n_groups = n_groups  # total object groups (static aux)
 
     def tree_flatten(self):
-        return (self.node_g, self.obj_g, self.og_base), self.n_nodes
+        return ((self.node_g, self.obj_g, self.og_base),
+                (self.n_nodes, self.n_groups))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux)
+        return cls(children[0], children[1], children[2], aux[0], aux[1])
 
 
 def pack_grouped(scene: SceneData, tb: ThreadedBVH) -> Optional[GroupedBVH]:
@@ -135,8 +136,9 @@ def pack_grouped(scene: SceneData, tb: ThreadedBVH) -> Optional[GroupedBVH]:
 
     Object groups are assigned per *node group* so that each node group's
     leaf span (a) stays within one 128-lane block (one roll serves the
-    whole span) and (b) spans at most SPAN_CAP groups (static unroll
-    bound).  Returns None when a degenerate tree cannot satisfy (b) —
+    whole span) and (b) addresses at most REL_SLOTS object groups (the
+    leaf metas' relative-og encoding and the kernel's unrolled bit
+    scans).  Returns None when a degenerate tree cannot satisfy (b) —
     callers fall back to the legacy kernel.
     """
     box = np.asarray(jax.device_get(tb.node_box), np.float32)  # (N,6)
@@ -148,6 +150,21 @@ def pack_grouped(scene: SceneData, tb: ThreadedBVH) -> Optional[GroupedBVH]:
         # oversized leaves (SAH fallback) overflow the relative-og meta
         # encoding; callers fall back to the legacy kernel
         return None
+    # a multi-group leaf holding a protected object (infinite plane —
+    # its hit can escape the leaf box) would let a live best-t update
+    # from an earlier column of the SAME leaf skip its later columns
+    # (the per-column gate recomputes against the live best-t, unlike
+    # the per-lane traversal's visit-time gate); bvh.protect_mask keeps
+    # such objects in single-object leaves except under a degenerate
+    # SAH fallback — refuse that case, legacy kernel handles it
+    from distributionraytracer_tpu.accel.bvh import protect_mask as _pm
+    prot = _pm(scene)
+    if N and prot.any():
+        leaf_ids0 = np.nonzero(nobjs > 0)[0]
+        for li in leaf_ids0:
+            span = oorder[first[li]:first[li] + nobjs[li]]
+            if nobjs[li] > GROUP and prot[span].any():
+                return None
 
     gn = -(-N // GROUP)
 
@@ -220,7 +237,8 @@ def pack_grouped(scene: SceneData, tb: ThreadedBVH) -> Optional[GroupedBVH]:
         obj_g[13 * GROUP + row, col] = src.astype(np.float32)
 
     return GroupedBVH(node_g=node_g, obj_g=obj_g,
-                      og_base=og_base.astype(np.int32), n_nodes=int(N))
+                      og_base=og_base.astype(np.int32), n_nodes=int(N),
+                      n_groups=int(total_groups))
 
 
 def _prim_test_grouped(fld, o, d, inv, time, types_present, motion_blur):
@@ -323,9 +341,13 @@ def _prim_test_grouped(fld, o, d, inv, time, types_present, motion_blur):
 
 
 def _make_grouped_kernel(types_present, motion_blur, is_shadow, n_nodes,
-                         shadow_mode="bvh", profile=False):
+                         n_groups, shadow_mode="bvh", profile=False):
     gn = -(-max(n_nodes, 1) // GROUP)
-    max_iters = np.int32(2 * gn + 64)
+    # sound per-chain step bound: one iteration per visited node group
+    # PLUS one per drained leaf object-group column (a full walk voting
+    # every leaf drains every object group once) — the previous 2*gn+64
+    # under-counted columns ~8x and could exit mid-walk (ADVICE r4)
+    max_iters = np.int32(gn + max(n_groups, 1) + 64)
     n_end = np.int32(max(n_nodes, 1))
     n_term = np.int32(gn * GROUP)  # all-pad group: parked chains no-op
 
@@ -643,9 +665,10 @@ def make_grouped_intersectors(scene: SceneData, tabs: GroupedBVH,
     types_present = tuple(sorted(set(scene.static.obj_types)))
 
     closest_k = _make_grouped_kernel(types_present, motion_blur, False,
-                                     tabs.n_nodes)
+                                     tabs.n_nodes, tabs.n_groups)
     shadow_k = _make_grouped_kernel(types_present, motion_blur, True,
-                                    tabs.n_nodes, shadow_mode=shadow_mode)
+                                    tabs.n_nodes, tabs.n_groups,
+                                    shadow_mode=shadow_mode)
 
     def closest(o, d, time, valid=None):
         R = o.shape[0]
@@ -684,8 +707,8 @@ def profile_closest(scene: SceneData, tabs: GroupedBVH, o, d, time,
     (incl. inert padding)."""
     types_present = tuple(sorted(set(scene.static.obj_types)))
     k = _make_grouped_kernel(types_present, motion_blur, False,
-                             tabs.n_nodes, shadow_mode=shadow_mode,
-                             profile=True)
+                             tabs.n_nodes, tabs.n_groups,
+                             shadow_mode=shadow_mode, profile=True)
     R = o.shape[0]
     vd = jnp.ones((R,), jnp.float32)
     outs = _run(tabs, k,

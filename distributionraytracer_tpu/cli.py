@@ -103,6 +103,9 @@ def _cmd_view(args):
                  res=tuple(args.res) if args.res else (400, 300),
                  cubemap=args.cubemap, chunk_spp=args.spp or 1)
         return
+    if args.scene is None:
+        raise SystemExit(
+            "view: a scene path is required unless --pt is given")
     scene = load_p3f(args.scene)
     if args.res:
         scene = dataclasses.replace(
