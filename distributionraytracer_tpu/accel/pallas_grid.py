@@ -211,13 +211,24 @@ def make_brute_grid_intersectors(scene: SceneData, pg: PallasGrid,
 
 def make_pallas_grid_intersectors(scene: SceneData, pg: PallasGrid,
                                   motion_blur: bool = False,
-                                  interpret: bool = False):
+                                  interpret: bool = False, bins=None):
+    """``bins`` (pallas_binned.BinSet, optional) routes the primary
+    closest level and all shadow levels through the binned
+    dense-streaming kernels; the grid's observable gates below apply
+    identically on top of either inner implementation."""
     from distributionraytracer_tpu.integrator.whitted import Intersectors
     from distributionraytracer_tpu.ops.intersect import HitResult
     from distributionraytracer_tpu.renderer import packet_intersectors
 
     inner = packet_intersectors(scene, pg.tabs, motion_blur,
                                 interpret=interpret, shadow_mode="grid")
+    if bins is not None:
+        from distributionraytracer_tpu.accel.pallas_binned import (
+            leveled_binned_intersectors,
+        )
+        inner = leveled_binned_intersectors(
+            scene, pg.tabs, bins, inner, motion_blur,
+            interpret=interpret, shadow_mode="grid")
     gstub = GridArrays(bbox_min=pg.bbox_min, bbox_max=pg.bbox_max,
                        ncells=pg.ncells, cell_start=None, cell_objs=None,
                        cell_dist=None)

@@ -47,13 +47,33 @@ def skybox_color(sky_faces, sky_res, direction):
     s = (sc * inv_ma + 1.0) / 2.0
     t = (tc * inv_ma + 1.0) / 2.0
 
-    width = sky_res[face, 0]
-    height = sky_res[face, 1]
+    width, height = _face_res(sky_res, face)
     xp = ((width - 1).astype(jnp.float32) * s).astype(jnp.int32)
     yp = ((height - 1).astype(jnp.float32) * t).astype(jnp.int32)
     xp = jnp.clip(xp, 0, width - 1)
     yp = jnp.clip(yp, 0, height - 1)
-    return sky_faces[face, yp, xp]
+    return _fetch(sky_faces, face, yp, xp)
+
+
+def _face_res(sky_res, face):
+    """Per-lane (width, height) via a 6-way select instead of a gather —
+    XLA lowers even a 12-element table gather to per-index DMA."""
+    width = sky_res[5, 0]
+    height = sky_res[5, 1]
+    for k in range(5):
+        width = jnp.where(face == k, sky_res[k, 0], width)
+        height = jnp.where(face == k, sky_res[k, 1], height)
+    return width, height
+
+
+def _fetch(sky_faces, face, yp, xp):
+    """One flat single-index row gather: measured 3.3x faster on TPU than
+    the 3-vector ``sky_faces[face, yp, xp]`` form (tools/profile_gather),
+    at ~10.7 ns/index from the 300 MB face table.  Faces are padded to a
+    common (H, W), so the flat index is exact for every face."""
+    Hp, Wp = sky_faces.shape[1], sky_faces.shape[2]
+    idx = (face * (Hp * Wp) + yp * Wp + xp).astype(jnp.int32)
+    return sky_faces.reshape(-1, 3)[idx]
 
 
 def gl_cubemap_color(sky_faces, sky_res, direction):
@@ -80,8 +100,7 @@ def gl_cubemap_color(sky_faces, sky_res, direction):
     inv_ma = 1.0 / ma
     s = (sc * inv_ma + 1.0) * 0.5
     t = (tc * inv_ma + 1.0) * 0.5
-    width = sky_res[face, 0]
-    height = sky_res[face, 1]
+    width, height = _face_res(sky_res, face)
     xp = jnp.clip((width.astype(jnp.float32) * s).astype(jnp.int32), 0, width - 1)
     yp = jnp.clip((height.astype(jnp.float32) * t).astype(jnp.int32), 0, height - 1)
-    return sky_faces[face, yp, xp]
+    return _fetch(sky_faces, face, yp, xp)

@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from distributionraytracer_tpu.accel.bvh import (
     ThreadedBVH, build_bvh, make_threaded_intersectors, thread_bvh,
@@ -44,12 +45,19 @@ def _render_none(scene, cfg, samples, return_rays=False):
 
 @partial(jax.jit, static_argnums=(1, 6, 7))
 def _render_grid(scene, cfg, grid: GridArrays, pg, samples, row_offset,
-                 unroll, return_rays=False):
+                 unroll, return_rays=False, bins=None):
     if pg is not None and _use_pallas_accel(cfg):
         from distributionraytracer_tpu.accel.pallas_grid import (
             make_brute_grid_intersectors, make_pallas_grid_intersectors,
         )
         interp = jax.default_backend() == "cpu"
+        if bins is not None:
+            inter = make_pallas_grid_intersectors(
+                scene, pg, cfg.motion_blur, interpret=interp, bins=bins)
+            cfg = cfg.replace(accel_tile_rays=1 << 30)
+            return render_from_samples(scene, cfg, samples,
+                                       row_offset=row_offset, inter=inter,
+                                       return_rays=return_rays)
         if _use_cost_brute(scene, cfg):
             # NOTE: the fused level megakernel has a grid mode
             # (render_from_samples(fused_grid=...)); measured 10% slower
@@ -142,19 +150,27 @@ def packet_intersectors(scene, tabs, motion_blur, interpret,
 
 @partial(jax.jit, static_argnums=(1, 6))
 def _render_bvh(scene, cfg, tbvh: ThreadedBVH, tabs, samples, row_offset,
-                return_rays=False):
+                return_rays=False, bins=None):
     if tabs is not None and _use_pallas_accel(cfg):
+        interp = jax.default_backend() == "cpu"
         if _use_cost_brute(scene, cfg):
-            inter = _brute_bvh_intersectors(
-                scene, cfg, interpret=jax.default_backend() == "cpu")
+            inter = _brute_bvh_intersectors(scene, cfg, interpret=interp)
         else:
             inter = packet_intersectors(
-                scene, tabs, cfg.motion_blur,
-                interpret=jax.default_backend() == "cpu")
+                scene, tabs, cfg.motion_blur, interpret=interp)
+            if bins is not None:
+                from distributionraytracer_tpu.accel.pallas_binned import (
+                    leveled_binned_intersectors,
+                )
+                inter = leveled_binned_intersectors(
+                    scene, tabs, bins, inter, cfg.motion_blur,
+                    interpret=interp, shadow_mode="bvh")
+                cfg = cfg.replace(accel_tile_rays=1 << 30)
         # the packet kernel has no gather-vs-lanes pathology: full-size
         # wavefronts amortize dispatch overhead (accel_tile_rays guards the
         # *XLA* traversal, config.py)
-        cfg = cfg.replace(accel_tile_rays=cfg.tile_rays)
+        if bins is None:
+            cfg = cfg.replace(accel_tile_rays=cfg.tile_rays)
     else:
         inter = make_threaded_intersectors(scene, tbvh, cfg.motion_blur)
     return render_from_samples(scene, cfg, samples, row_offset=row_offset,
@@ -264,6 +280,51 @@ class Renderer:
         self.grid_unroll = ab.grid_unroll
         self.bvh = ab.xla if ab.kind == ACCEL_BVH else None
         self.bvh_tabs = ab.pallas if ab.kind == ACCEL_BVH else None
+        self._init_binning(scene)
+
+    def _init_binning(self, scene):
+        """Precompute the camera-independent half of the binned
+        dense-streaming route (accel.pallas_binned): group AABBs and the
+        per-light frustum bins.  Primary bins are camera-dependent and
+        built lazily per render (cached by camera)."""
+        self._gbox = None
+        self._light_bins = None
+        self._primary_cache = {}
+        if self.cfg.compact_lanes or self.cfg.soft_shadow > 0.0:
+            return  # binned routing requires the positional lane layout
+        from distributionraytracer_tpu.accel import pallas_binned as _pb
+        from distributionraytracer_tpu.accel.pallas_packet import GroupedBVH
+        tabs = self.bvh_tabs
+        if self.accel == ACCEL_GRID and self.grid_pallas is not None:
+            tabs = self.grid_pallas.tabs
+        if not isinstance(tabs, GroupedBVH):
+            return
+        if not _pb.binned_supported(scene, self.cfg):
+            return
+        self._gbox = _pb.group_boxes(scene, tabs)
+        lb = _pb.build_light_bins(scene, self._gbox)
+        if lb is not None and _pb.shadow_binning_ok(scene, lb):
+            self._light_bins = jax.device_put(lb)
+
+    def _bins_for(self, H, W, S):
+        """BinSet for this frame's camera/shape, or None (packet path)."""
+        if self._gbox is None:
+            return None
+        from distributionraytracer_tpu.accel import pallas_binned as _pb
+        sc = self.scene
+        key = (H, W, S,
+               tuple(np.asarray(jax.device_get(sc.cam_eye)).tolist()),
+               tuple(np.asarray(jax.device_get(sc.cam_at)).tolist()),
+               tuple(np.asarray(jax.device_get(sc.cam_up)).tolist()))
+        pb = self._primary_cache.get(key)
+        if pb is None:
+            pb = _pb.build_primary_bins(sc, self._gbox, H, W, S)
+            if pb is None:
+                return None
+            pb = jax.device_put(pb)
+            self._primary_cache.clear()  # one camera's bins at a time
+            self._primary_cache[key] = pb
+        return _pb.BinSet(primary=pb, lights=self._light_bins)
 
     def executed_backend(self) -> str:
         """The backend the render path will actually execute for this
@@ -279,44 +340,51 @@ class Renderer:
             if use_pallas and _pw.fused_supported(self.scene, cfg):
                 return "fused-level"
             return "brute-megakernel" if use_pallas else "brute-xla"
+        binned = "" if self._gbox is None else (
+            "binned+" if self._light_bins is not None
+            else "binned-primary+")
         if self.accel == ACCEL_GRID:
             if self.grid_pallas is not None and _use_pallas_accel(cfg):
                 return ("cost-brute" if _use_cost_brute(self.scene, cfg)
-                        else "grid-packet")
+                        else binned + "grid-packet")
             return "grid-xla"
         if self.bvh_tabs is not None and _use_pallas_accel(cfg):
             if _use_cost_brute(self.scene, cfg):
                 return "cost-brute"
-            return ("grouped-packet" if isinstance(self.bvh_tabs, GroupedBVH)
-                    else "legacy-packet")
+            return binned + (
+                "grouped-packet" if isinstance(self.bvh_tabs, GroupedBVH)
+                else "legacy-packet")
         return "bvh-xla"
 
     # ------------------------------------------------------------- batch
     def _render_chunk(self, samples: SampleSet, row_offset,
-                      return_rays=False):
+                      return_rays=False, bins=None):
         if self.accel == ACCEL_GRID:
             return _render_grid(self.scene, self.cfg, self.grid,
                                 self.grid_pallas, samples, row_offset,
-                                self.grid_unroll, return_rays)
+                                self.grid_unroll, return_rays, bins)
         return _render_bvh(self.scene, self.cfg, self.bvh, self.bvh_tabs,
-                           samples, row_offset, return_rays)
+                           samples, row_offset, return_rays, bins)
 
     def render_with_samples(self, samples: SampleSet, return_rays=False):
         if self.accel == ACCEL_NONE:
             return _render_none(self.scene, self.cfg, samples, return_rays)
         H, W, S = samples.time.shape
         cfg = self.cfg
+        bins = None
         if ((self.bvh_tabs is not None or self.grid_pallas is not None)
                 and _use_pallas_accel(cfg)):
             # packet kernel renders orders of magnitude faster than the XLA
             # traversal; whole frames stay far under the platform watchdog
             rows = H
+            if not _use_cost_brute(self.scene, cfg):
+                bins = self._bins_for(H, W, S)
         else:
             rows = (max(1, cfg.accel_dispatch_rays // (W * S))
                     if cfg.accel_dispatch_rays else H)
         if rows >= H:
             return self._render_chunk(samples, jnp.zeros((), jnp.float32),
-                                      return_rays)
+                                      return_rays, bins=bins)
         # host-chunked dispatch: every device execution stays under the
         # remote platform's watchdog; one compile reused for all chunks
         # (row_offset is a traced scalar, the last chunk is padded)
