@@ -54,7 +54,8 @@ from distributionraytracer_tpu.scene.types import OBJ_PLANE, SceneData
 
 LANES = 128
 GROUP = 8
-CHAINS = 8  # chains per (8, 128) Mosaic tile (walked sequentially)
+CHAINS = 8  # chains per (8, 128) Mosaic tile
+NODE_SLAB_ROWS = 14 * GROUP  # 112: the grouped object-table row count
 PAD_PX = 2.0  # conservative screen-projection padding (pixel jitter +1)
 # Light-frustum tiles per axis.  Far lights see the scene under a small
 # solid angle with deep depth stacking (a 100k-tri mesh piles thousands
@@ -104,17 +105,32 @@ def _host_camera(scene: SceneData):
 
 
 # ------------------------------------------------------------- primary bins
-class PrimaryBins(NamedTuple):
-    """Per-frame chain candidate CSR (host-built, camera-dependent).
+BLK = 32  # candidate columns per logical slab block
+SUB = LANES // BLK  # logical blocks per streamed (112, 128) superblock
 
-    ``chain_start (C+1,)`` i32, ``cand (P,)`` i32 group-column ids into
-    ``tabs.obj_g``, ``cand_dist (P,)`` f32 conservative eye->group entry
-    distances; ``cand`` is per-chain sorted ascending by ``cand_dist``
-    (front-to-back early termination)."""
+
+class PrimaryBins(NamedTuple):
+    """Per-frame chain candidates (host-built, camera-dependent).
+
+    Chain-level CSR (``chain_start (C+1,)`` i32 into ``cand (P,)`` i32
+    group-column ids, per-chain sorted ascending by ``cand_dist`` (P,)
+    f32 conservative eye->group entry distance) plus the block-level
+    streaming layout the kernel actually consumes: candidate columns are
+    materialized into BLK-column slabs (``slab`` (112, B*BLK) f32, built
+    on device from ``tabs.obj_g`` once per camera, HBM-resident) with
+    per-block metadata ``blk_owner`` (B,) i32 chain id and ``blk_dist``
+    (B,) f32 (min entry distance -> front-to-back block skip), and
+    ``tile_start`` (T+1,) i32 per-ray-tile superblock ranges.  The
+    Pallas grid runs one step per ray tile; the kernel double-buffer
+    DMAs its tile's slab superblocks from HBM."""
 
     chain_start: jnp.ndarray
     cand: jnp.ndarray
     cand_dist: jnp.ndarray
+    blk_owner: jnp.ndarray
+    blk_dist: jnp.ndarray
+    tile_start: jnp.ndarray
+    slab: jnp.ndarray
 
 
 def _chain_grid(H: int, W: int, S: int):
@@ -150,7 +166,7 @@ def _chain_grid(H: int, W: int, S: int):
     return rw, rh, grid
 
 
-def build_primary_bins(scene: SceneData, gbox: np.ndarray,
+def build_primary_bins(scene: SceneData, gbox: np.ndarray, tabs,
                        H: int, W: int, S: int) -> Optional[PrimaryBins]:
     """Host-side conservative screen binning of object groups to chains.
 
@@ -171,10 +187,9 @@ def build_primary_bins(scene: SceneData, gbox: np.ndarray,
     live = gbox[:, 6] > 0
     gids = np.nonzero(live)[0]
     if gids.size == 0:
-        return PrimaryBins(
-            chain_start=jnp.zeros((C + 1,), jnp.int32),
-            cand=jnp.zeros((P_BUCKET,), jnp.int32),
-            cand_dist=jnp.full((P_BUCKET,), FLT_MAX, jnp.float32))
+        return _finish_primary_bins(
+            tabs, C, np.zeros((C + 1,), np.int64),
+            np.zeros((0,), np.int32), np.zeros((0,), np.float32))
     bmin = gbox[gids, 0:3].astype(np.float64)
     bmax = gbox[gids, 3:6].astype(np.float64)
 
@@ -223,18 +238,85 @@ def build_primary_bins(scene: SceneData, gbox: np.ndarray,
     order = np.lexsort((gdist[rep], chain))
     cand = gids[rep[order]].astype(np.int32)
     cdist = gdist[rep[order]]
-    chain_sorted = chain[order]
-    chain_start = np.searchsorted(
-        chain_sorted, np.arange(C + 1)).astype(np.int32)
+    chain_start = np.searchsorted(chain[order], np.arange(C + 1))
+    return _finish_primary_bins(tabs, C, chain_start, cand, cdist)
 
-    P = max(-(-total // P_BUCKET) * P_BUCKET, P_BUCKET)
+
+def _finish_primary_bins(tabs, C, chain_start, cand, cdist):
+    """Block-level streaming layout from the per-chain CSR: every chain
+    gets >= 1 BLK-column block (so its output rows are initialized even
+    when it has no candidates); block order follows chain order, so
+    blocks of one (8-chain) ray tile are consecutive and the output
+    block stays VMEM-resident across them."""
+    cnt = np.diff(chain_start)
+    nb = np.maximum(1, -(-cnt // BLK))
+    owner = np.repeat(np.arange(C), nb)
+    k = np.arange(owner.size) - np.repeat(np.cumsum(nb) - nb, nb)
+    src0 = chain_start[owner] + k * BLK  # first cand of this block
+    in_rng = k * BLK < cnt[owner]
+    bdist = np.where(
+        in_rng, cdist[np.minimum(src0, max(len(cdist) - 1, 0))]
+        if len(cdist) else FLT_MAX, FLT_MAX).astype(np.float32)
+    cols = src0[:, None] + np.arange(BLK)[None, :]
+    cval = (cols < (chain_start[owner] + cnt[owner])[:, None]) & (
+        cols < max(len(cand), 1))
+    ids2 = np.where(cval, cand[np.minimum(cols, max(len(cand) - 1, 0))]
+                    if len(cand) else -1, -1)  # (B0, BLK), -1 = inert
+
+    # a streamed (112, 128) superblock carries SUB logical blocks, and
+    # its ray/output tile is chosen once per grid step — so pad every
+    # ray tile's block run to a SUB multiple (pad blocks: same tile,
+    # dist = +inf, inert columns)
+    tile = owner // CHAINS
+    ob, od, oi = [], [], []
+    ntile = -(-C // CHAINS)
+    tile_sb = np.zeros(ntile + 1, np.int64)  # superblock starts
+    start_idx = np.searchsorted(tile, np.arange(ntile + 1))
+    for tt in range(ntile):
+        lo, hi = start_idx[tt], start_idx[tt + 1]
+        ob.append(owner[lo:hi])
+        od.append(bdist[lo:hi])
+        oi.append(ids2[lo:hi])
+        pad = (-(hi - lo)) % SUB
+        if pad:
+            ob.append(np.full(pad, tt * CHAINS, np.int64))
+            od.append(np.full(pad, FLT_MAX, np.float32))
+            oi.append(np.full((pad, BLK), -1, np.int64))
+        tile_sb[tt + 1] = tile_sb[tt] + (hi - lo + pad) // SUB
+    owner_b = np.concatenate(ob) if ob else np.zeros(0, np.int64)
+    bdist_b = np.concatenate(od) if od else np.zeros(0, np.float32)
+    ids_b = (np.concatenate(oi) if oi
+             else np.zeros((0, BLK), np.int64))
+    B = owner_b.size
+    Bp = max(-(-B // 512) * 512, 512)
+    owner_p = np.concatenate(
+        [owner_b, np.zeros(Bp - B, np.int64)]).astype(np.int32)
+    bdist_p = np.concatenate(
+        [bdist_b, np.full(Bp - B, FLT_MAX, np.float32)])
+    ids_p = np.concatenate(
+        [ids_b.reshape(-1),
+         np.full((Bp - B) * BLK, -1, np.int64)]).astype(np.int32)
+
+    # device: materialize the slab from the grouped object table (one
+    # column gather per camera); inert columns get type -1
+    idsj = jnp.asarray(ids_p)
+    slab = jnp.take(tabs.obj_g, jnp.maximum(idsj, 0), axis=1)
+    inert = (idsj < 0)[None, :]
+    tmask = np.zeros((NODE_SLAB_ROWS, 1), np.float32)
+    tmask[12 * GROUP:13 * GROUP] = 1.0
+    slab = jnp.where(inert & (tmask > 0), -1.0, slab)
+
+    P = max(len(cand), 1)
     cand_p = np.zeros((P,), np.int32)
-    cand_p[:total] = cand
+    cand_p[:len(cand)] = cand
     dist_p = np.full((P,), FLT_MAX, np.float32)
-    dist_p[:total] = cdist
-    return PrimaryBins(chain_start=jnp.asarray(chain_start),
-                       cand=jnp.asarray(cand_p),
-                       cand_dist=jnp.asarray(dist_p))
+    dist_p[:len(cdist)] = cdist
+    return PrimaryBins(
+        chain_start=jnp.asarray(chain_start.astype(np.int32)),
+        cand=jnp.asarray(cand_p), cand_dist=jnp.asarray(dist_p),
+        blk_owner=jnp.asarray(owner_p),
+        blk_dist=jnp.asarray(bdist_p),
+        tile_start=jnp.asarray(tile_sb.astype(np.int32)), slab=slab)
 
 
 # --------------------------------------------------------------- light bins
@@ -388,71 +470,114 @@ def _make_binned_closest_kernel(types_present, motion_blur):
         _prim_test_grouped,
     )
 
-    def kernel(cs_ref, cand_ref, cdist_ref, obj_ref,
+    def kernel(tbs_ref, own_ref, dist_ref, slab_ref,
                ox, oy, oz, dx, dy, dz, tm, vd,
-               t_ref, nx_ref, ny_ref, nz_ref, oid_ref):
-        # Mosaic blocks are (8, 128): each invocation walks its tile's 8
-        # chains sequentially (sublane row ci = chain 8*i + ci)
-        i = pl.program_id(0)
+               t_ref, nx_ref, ny_ref, nz_ref, oid_ref,
+               buf, sem):
+        # one grid step per RAY TILE (all block specs are static grid
+        # functions, so Pallas fetches each tile's rays and writes its
+        # outputs exactly once — a scalar-dependent index_map was
+        # measured to re-DMA every block every step, ~54us of pure
+        # framework overhead).  The tile's candidate slab superblocks
+        # stream HBM -> VMEM through a double-buffered manual DMA while
+        # the previous superblock's 4x32 columns are tested densely.
+        ti = pl.program_id(0)
         shape = (GROUP, LANES)
         idx8 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
-        pmax = cand_ref.shape[0] - 1
 
         t_ref[:] = jnp.full((CHAINS, LANES), FLT_MAX, jnp.float32)
         nx_ref[:] = jnp.zeros((CHAINS, LANES), jnp.float32)
-        ny_ref[:] = nx_ref[:]
-        nz_ref[:] = nx_ref[:]
+        ny_ref[:] = jnp.zeros((CHAINS, LANES), jnp.float32)
+        nz_ref[:] = jnp.zeros((CHAINS, LANES), jnp.float32)
         oid_ref[:] = jnp.full((CHAINS, LANES), -1.0, jnp.float32)
 
-        for ci in range(CHAINS):
-            o_b = tuple(jnp.broadcast_to(r[ci:ci + 1, :], shape)
-                        for r in (ox, oy, oz))
-            d_b = tuple(jnp.broadcast_to(r[ci:ci + 1, :], shape)
-                        for r in (dx, dy, dz))
-            inv_b = tuple(1.0 / dk for dk in d_b)
-            time_b = jnp.broadcast_to(tm[ci:ci + 1, :], shape)
-            valid = vd[ci:ci + 1, :] > 0.0
-            c = i * CHAINS + ci
-            s = cs_ref[c]
-            e = cs_ref[c + 1]
+        s = tbs_ref[ti]  # superblock range of this tile
+        e = tbs_ref[ti + 1]
 
-            def body(j, ci=ci, o_b=o_b, d_b=d_b, inv_b=inv_b,
-                     time_b=time_b, valid=valid, e=e):
-                fldo, ocol = _fetch_col(obj_ref, cand_ref[j])
-                t_c, n_c = _prim_test_grouped(
-                    fldo, o_b, d_b, inv_b, time_b, types_present,
-                    motion_blur)
-                # per-ray winner among the 8; lowest row wins exact
-                # ties (DFS object order in a group, as pallas_packet)
-                tmin_c = jnp.min(t_c, axis=0, keepdims=True)
-                first_r = jnp.min(jnp.where(t_c == tmin_c, idx8, GROUP),
-                                  axis=0, keepdims=True)
-                onehot = idx8 == first_r
-                pick = lambda a: jnp.max(jnp.where(onehot, a, -FLT_MAX),
-                                         axis=0, keepdims=True)
-                gidv = ocol[13 * GROUP:14 * GROUP, 0:1]
-                better = valid & (tmin_c < t_ref[ci:ci + 1, :])
-                t_ref[ci:ci + 1, :] = jnp.where(
-                    better, tmin_c, t_ref[ci:ci + 1, :])
-                nx_ref[ci:ci + 1, :] = jnp.where(
-                    better, pick(n_c[0]), nx_ref[ci:ci + 1, :])
-                ny_ref[ci:ci + 1, :] = jnp.where(
-                    better, pick(n_c[1]), ny_ref[ci:ci + 1, :])
-                nz_ref[ci:ci + 1, :] = jnp.where(
-                    better, pick(n_c[2]), nz_ref[ci:ci + 1, :])
-                oid_ref[ci:ci + 1, :] = jnp.where(
-                    better, pick(jnp.broadcast_to(gidv, shape)),
-                    oid_ref[ci:ci + 1, :])
-                # front-to-back termination: candidates are dist-sorted
-                # and primary origins sit at the eye (t == euclidean
-                # distance), so once every live lane beats the next
-                # candidate's entry distance no later candidate can win
+        def get_dma(slot, k):
+            off = pl.multiple_of(k * LANES, LANES)
+            return pltpu.make_async_copy(
+                slab_ref.at[:, pl.ds(off, LANES)],
+                buf.at[slot], sem.at[slot])
+
+        @pl.when(s < e)
+        def _():
+            get_dma(0, s).start()
+
+        def body(k, _):
+            slot = (k - s) % 2
+
+            @pl.when(k + 1 < e)
+            def _():
+                get_dma((k - s + 1) % 2, k + 1).start()
+
+            get_dma(slot, k).wait()
+            # one register load of the whole superblock: the per-column
+            # field slices below then select from live vregs instead of
+            # issuing 14 VMEM reads per column
+            blk = buf[slot]
+
+            for sb in range(SUB):
+                b = k * SUB + sb
+                row = own_ref[b] % CHAINS
+                valid = vd[pl.ds(row, 1), :] > 0.0
+                # front-to-back block skip: blocks are per-chain
+                # dist-sorted and primary origins sit at the eye (ray
+                # t == euclidean distance), so once every live lane
+                # beats this block's entry distance nothing later wins
                 worst = jnp.max(jnp.where(
-                    valid, t_ref[ci:ci + 1, :], -FLT_MAX))
-                done = worst < cdist_ref[jnp.minimum(j + 1, pmax)]
-                return jnp.where(done, e, j + 1)
+                    valid, t_ref[pl.ds(row, 1), :], -FLT_MAX))
 
-            jax.lax.while_loop(lambda j, e=e: j < e, body, s)
+                @pl.when(worst >= dist_ref[b])
+                def _(sb=sb, row=row, valid=valid, slot=slot):
+                    o_b = tuple(jnp.broadcast_to(r[pl.ds(row, 1), :],
+                                                 shape)
+                                for r in (ox, oy, oz))
+                    d_b = tuple(jnp.broadcast_to(r[pl.ds(row, 1), :],
+                                                 shape)
+                                for r in (dx, dy, dz))
+                    inv_b = tuple(1.0 / dk for dk in d_b)
+                    time_b = jnp.broadcast_to(tm[pl.ds(row, 1), :],
+                                              shape)
+                    bt = t_ref[pl.ds(row, 1), :]
+                    bn0 = nx_ref[pl.ds(row, 1), :]
+                    bn1 = ny_ref[pl.ds(row, 1), :]
+                    bn2 = nz_ref[pl.ds(row, 1), :]
+                    boid = oid_ref[pl.ds(row, 1), :]
+                    for j in range(sb * BLK, (sb + 1) * BLK):
+                        fld = lambda f, j=j: blk[
+                            f * GROUP:(f + 1) * GROUP, j:j + 1]
+                        t_c, n_c = _prim_test_grouped(
+                            fld, o_b, d_b, inv_b, time_b,
+                            types_present, motion_blur)
+                        # per-ray winner among the 8; lowest row wins
+                        # exact ties (DFS object order, pallas_packet)
+                        tmin_c = jnp.min(t_c, axis=0, keepdims=True)
+                        first_r = jnp.min(
+                            jnp.where(t_c == tmin_c, idx8, GROUP),
+                            axis=0, keepdims=True)
+                        onehot = idx8 == first_r
+                        pick = lambda a: jnp.max(
+                            jnp.where(onehot, a, -FLT_MAX),
+                            axis=0, keepdims=True)
+                        gidv = blk[13 * GROUP:14 * GROUP,
+                                   j:j + 1]
+                        better = valid & (tmin_c < bt)
+                        bt = jnp.where(better, tmin_c, bt)
+                        bn0 = jnp.where(better, pick(n_c[0]), bn0)
+                        bn1 = jnp.where(better, pick(n_c[1]), bn1)
+                        bn2 = jnp.where(better, pick(n_c[2]), bn2)
+                        boid = jnp.where(
+                            better,
+                            pick(jnp.broadcast_to(gidv, shape)), boid)
+                    t_ref[pl.ds(row, 1), :] = bt
+                    nx_ref[pl.ds(row, 1), :] = bn0
+                    ny_ref[pl.ds(row, 1), :] = bn1
+                    nz_ref[pl.ds(row, 1), :] = bn2
+                    oid_ref[pl.ds(row, 1), :] = boid
+            return 0
+
+        jax.lax.fori_loop(s, e, body, 0)
 
     return kernel
 
@@ -465,18 +590,26 @@ def _make_binned_shadow_kernel(types_present, motion_blur, shadow_mode,
 
     def kernel(ts_ref, ent_ref, fr_ref, lid_ref, obj_ref,
                ox, oy, oz, dx, dy, dz, dist, vd, occ_ref):
+        # BRANCHLESS interleaved design (the lesson of pallas_packet and
+        # of this kernel's own first version): the 8 chains of a tile
+        # step TOGETHER in one while loop, one candidate column each per
+        # iteration, so their fetch->test->update dependency chains
+        # overlap instead of serializing.  Per-chain scalar state
+        # (tile-row cursor ty, entry cursor j, row end re) advances
+        # branchlessly; exhausted or fully-occluded chains park.
         i = pl.program_id(0)
         shape = (GROUP, LANES)
         occ_ref[:] = jnp.zeros((CHAINS, LANES), jnp.float32)
         fK = np.float32(K)
+        qmax = jnp.int32(ent_ref.shape[0] * LANES - 1)
 
+        per = []  # per-chain static context
         for ci in range(CHAINS):
             o_r = (ox[ci:ci + 1, :], oy[ci:ci + 1, :], oz[ci:ci + 1, :])
             o_b = tuple(jnp.broadcast_to(r, shape) for r in o_r)
             d_b = tuple(jnp.broadcast_to(r[ci:ci + 1, :], shape)
                         for r in (dx, dy, dz))
             inv_b = tuple(1.0 / dk for dk in d_b)
-            time_b = jnp.zeros(shape, jnp.float32)  # shadow: time = 0
             sd = dist[ci:ci + 1, :]
             valid = vd[ci:ci + 1, :] > 0.0
 
@@ -506,48 +639,76 @@ def _make_binned_shadow_kernel(types_present, motion_blur, shadow_mode,
             tx0 = jnp.min(jnp.where(valid, tx, big))
             tx1 = jnp.max(jnp.where(valid, tx, -1))
             ty0 = jnp.min(jnp.where(valid, ty, big))
-            ty1 = jnp.max(jnp.where(valid, ty, -1))
-            any_live = tx1 >= 0
+            ty1 = jnp.max(jnp.where(valid, ty, -1))  # -1: all dead
             tbase = li * (K * K)
+            rowarg = lambda t, tb=tbase, t1=ty1, x=tx0: (
+                tb + jnp.clip(t, 0, jnp.maximum(t1, 0)) * K + x)
+            rowend = lambda t, tb=tbase, t1=ty1, x=tx1: (
+                tb + jnp.clip(t, 0, jnp.maximum(t1, 0)) * K + x + 1)
+            per.append(dict(o_b=o_b, d_b=d_b, inv_b=inv_b, sd=sd,
+                            valid=valid, ty0=ty0, ty1=ty1,
+                            rowarg=rowarg, rowend=rowend))
 
-            def test_col(og, occ, o_b=o_b, d_b=d_b, inv_b=inv_b,
-                         time_b=time_b, sd=sd, valid=valid):
-                fldo, _ = _fetch_col(obj_ref, og)
-                t_c, _ = _prim_test_grouped(
-                    fldo, o_b, d_b, inv_b, time_b, types_present,
-                    motion_blur)
-                if shadow_mode == "grid":
-                    hit = t_c < sd  # strict (grid.cpp:330-352)
-                else:
-                    hit = t_c <= sd + EPSILON  # bvh.cpp:376
-                anyh = jnp.any(hit, axis=0, keepdims=True)
-                return jnp.where(valid & anyh, 1.0, occ)
+        def chain_step(ci, st):
+            P = per[ci]
+            ty, j, re = st
+            alive = ty <= P["ty1"]
+            gate = alive & (j < re)
+            jsafe = jnp.minimum(j, qmax)
+            # scalar id from the VMEM entry table: dynamic-sublane row
+            # load + lane roll (no dynamic-lane scalar indexing)
+            erow = ent_ref[pl.ds(jsafe // LANES, 1), :]
+            og = pltpu.roll(erow, shift=LANES - (jsafe % LANES),
+                            axis=1)[0, 0]
+            fldo, _ = _fetch_col(obj_ref, og)
+            t_c, _ = _prim_test_grouped(
+                fldo, P["o_b"], P["d_b"], P["inv_b"],
+                jnp.zeros(shape, jnp.float32), types_present,
+                motion_blur)
+            if shadow_mode == "grid":
+                hit = t_c < P["sd"]  # strict (grid.cpp:330-352)
+            else:
+                hit = t_c <= P["sd"] + EPSILON  # bvh.cpp:376
+            anyh = jnp.any(hit, axis=0, keepdims=True) & gate
+            occ = jnp.where(P["valid"] & anyh, 1.0,
+                            occ_ref[ci:ci + 1, :])
+            occ_ref[ci:ci + 1, :] = occ
+            all_occ = ~jnp.any(P["valid"] & (occ == 0.0))
+            # branchless advance: next entry, next tile row on row end,
+            # park past ty1 once every live lane is occluded
+            j2 = j + 1
+            row_done = j2 >= re
+            ty2 = jnp.where(row_done, ty + 1, ty)
+            ty2 = jnp.where(all_occ, P["ty1"] + 1, ty2)
+            rs_n = ts_ref[P["rowarg"](ty2)]
+            re_n = ts_ref[P["rowend"](ty2)]
+            moved = row_done | all_occ
+            return (ty2, jnp.where(moved, rs_n, j2),
+                    jnp.where(moved, re_n, re))
 
-            @pl.when(any_live)
-            def _(ci=ci, tbase=tbase, tx0=tx0, tx1=tx1, ty0=ty0,
-                  ty1=ty1, valid=valid, test_col=test_col):
-                def row_body(ty_j, _):
-                    rs = ts_ref[tbase + ty_j * K + tx0]
-                    re = ts_ref[tbase + ty_j * K + tx1 + 1]
+        def cond(s):
+            active = None
+            for ci in range(CHAINS):
+                a = s[3 * ci] <= per[ci]["ty1"]
+                active = a if active is None else (active | a)
+            return active
 
-                    def col_body(j, re=re):
-                        # scalar id from the VMEM-resident entry table:
-                        # dynamic-sublane row load + lane roll (Mosaic
-                        # has no dynamic-lane scalar indexing)
-                        erow = ent_ref[pl.ds(j // LANES, 1), :]
-                        og = pltpu.roll(
-                            erow, shift=LANES - (j % LANES), axis=1)[0, 0]
-                        occ = test_col(og, occ_ref[ci:ci + 1, :])
-                        occ_ref[ci:ci + 1, :] = occ
-                        # early out once every live lane is occluded
-                        done = ~jnp.any(valid & (occ == 0.0))
-                        return jnp.where(done, re, j + 1)
+        def body(s):
+            out = []
+            for ci in range(CHAINS):
+                out.extend(chain_step(ci, s[3 * ci:3 * ci + 3]))
+            return tuple(out)
 
-                    jax.lax.while_loop(lambda j, re=re: j < re,
-                                       col_body, rs)
-                    return 0
-
-                jax.lax.fori_loop(ty0, ty1 + 1, row_body, 0)
+        init = []
+        for ci in range(CHAINS):
+            P = per[ci]
+            ty0 = P["ty0"]
+            rs0 = ts_ref[P["rowarg"](ty0)]
+            re0 = ts_ref[P["rowend"](ty0)]
+            # all-dead chains start parked (ty = 0 > ty1 = -1)
+            init.extend([jnp.where(P["ty1"] >= 0, ty0, jnp.int32(0)),
+                         rs0, re0])
+        jax.lax.while_loop(cond, body, tuple(init))
 
     return kernel
 
@@ -576,30 +737,30 @@ def binned_closest(scene: SceneData, tabs, bins: PrimaryBins,
     C = bins.chain_start.shape[0] - 1
     assert -(-R // LANES) == C, (R, C)
     Cp = _pad_chains(C)
+    B = bins.blk_owner.shape[0]
     vd = (jnp.ones((R,), jnp.float32) if valid is None
           else valid.astype(jnp.float32))
     rays = [_pad_rows(x, Cp) for x in
             (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], time,
              vd)]
-    cs = bins.chain_start
-    if Cp != C:  # padded chains stream nothing (empty CSR tail)
-        cs = jnp.concatenate(
-            [cs, jnp.broadcast_to(cs[-1:], (Cp - C,))])
     kern = _make_binned_closest_kernel(types_present, motion_blur)
     row_spec = pl.BlockSpec((CHAINS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    obj_spec = pl.BlockSpec(tabs.obj_g.shape, lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    slab_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
     fshape = jax.ShapeDtypeStruct((Cp, LANES), jnp.float32)
     t, nx, ny, nz, oid = pl.pallas_call(
         kern,
         grid=(Cp // CHAINS,),
-        in_specs=[smem, smem, smem, obj_spec] + [row_spec] * 8,
+        in_specs=[smem, smem, smem, slab_spec] + [row_spec] * 8,
         out_specs=[row_spec] * 5,
         out_shape=[fshape] * 5,
+        scratch_shapes=[
+            pltpu.VMEM((2, NODE_SLAB_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(cs, bins.cand, bins.cand_dist, tabs.obj_g, *rays)
+    )(bins.tile_start, bins.blk_owner, bins.blk_dist, bins.slab, *rays)
     flat = lambda a: a.reshape(-1)[:R]
     t, nx, ny, nz, oid = map(flat, (t, nx, ny, nz, oid))
     gid = oid.astype(jnp.int32)
@@ -667,6 +828,15 @@ def binned_supported(scene: SceneData, cfg) -> bool:
     if cfg.dof:
         return False
     return st.n_objects > 0
+
+
+# The light-frustum shadow kernel currently loses to the packet walker
+# (measured 1.37 s vs 43 ms on dragon's primary shadow batch: per-chain
+# tile-bbox unions x K=128 multi-tile duplication x depth stacking give
+# it ~100-500 columns/chain, each paying a dynamic roll-fetch).  Off
+# until the dense-slab DMA rework lands; closest-binning alone carries
+# the mesh-scene win.
+SHADOW_BINNING = False
 
 
 def shadow_binning_ok(scene: SceneData, lbins) -> bool:

@@ -301,10 +301,12 @@ class Renderer:
             return
         if not _pb.binned_supported(scene, self.cfg):
             return
+        self._bins_tabs = tabs
         self._gbox = _pb.group_boxes(scene, tabs)
-        lb = _pb.build_light_bins(scene, self._gbox)
-        if lb is not None and _pb.shadow_binning_ok(scene, lb):
-            self._light_bins = jax.device_put(lb)
+        if _pb.SHADOW_BINNING:
+            lb = _pb.build_light_bins(scene, self._gbox)
+            if lb is not None and _pb.shadow_binning_ok(scene, lb):
+                self._light_bins = jax.device_put(lb)
 
     def _bins_for(self, H, W, S):
         """BinSet for this frame's camera/shape, or None (packet path)."""
@@ -318,7 +320,8 @@ class Renderer:
                tuple(np.asarray(jax.device_get(sc.cam_up)).tolist()))
         pb = self._primary_cache.get(key)
         if pb is None:
-            pb = _pb.build_primary_bins(sc, self._gbox, H, W, S)
+            pb = _pb.build_primary_bins(sc, self._gbox, self._bins_tabs,
+                                        H, W, S)
             if pb is None:
                 return None
             pb = jax.device_put(pb)
