@@ -63,6 +63,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.drt_parse_floats.restype = i64
         lib.drt_parse_floats.argtypes = [
             ctypes.c_char_p, i64, ctypes.POINTER(i64), f64p, i64]
+        lib.drt_traverse_closest.restype = None
+        lib.drt_traverse_closest.argtypes = [
+            i64, f32p, f32p, u8p, i32p, i32p, i32p, f32p, i32p,
+            i64, f32p, f32p, f32p, ctypes.c_int32, ctypes.c_int32,
+            f32p, i32p]
         _lib = lib
         return _lib
 
@@ -142,3 +147,38 @@ def parse_floats_native(text: bytes, pos: int, count: int):
     if got != count:
         raise ValueError(f"expected {count} floats, got {got}")
     return out, p.value
+
+
+def traverse_closest_native(nodes, order, obj12, obj_types, o, d,
+                            time=None, motion: bool = False,
+                            n_threads: int = 0):
+    """Reference-semantics CPU closest-hit over flat BVH tables
+    (bvh.cpp:231-311 under the OpenMP pixel loop, main.cpp:603) — the
+    native baseline bench.py compares the TPU kernels against on the
+    same host.  ``nodes`` = (node_min, node_max, leaf, index, nobjs)
+    from build_bvh_native.  Returns (t, obj_id) or None if unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    node_min, node_max, leaf, index, nobjs = nodes
+    n_rays = len(o)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    t_out = np.empty(n_rays, np.float32)
+    id_out = np.empty(n_rays, np.int32)
+    tm = (np.zeros(n_rays, np.float32) if time is None
+          else np.ascontiguousarray(time, np.float32))
+    lib.drt_traverse_closest(
+        len(leaf), np.ascontiguousarray(node_min, np.float32),
+        np.ascontiguousarray(node_max, np.float32),
+        np.ascontiguousarray(leaf, np.uint8),
+        np.ascontiguousarray(index, np.int32),
+        np.ascontiguousarray(nobjs, np.int32),
+        np.ascontiguousarray(order, np.int32),
+        np.ascontiguousarray(obj12, np.float32),
+        np.ascontiguousarray(obj_types, np.int32),
+        n_rays, np.ascontiguousarray(o, np.float32),
+        np.ascontiguousarray(d, np.float32), tm,
+        1 if motion else 0, n_threads, t_out, id_out)
+    return t_out, id_out

@@ -84,3 +84,51 @@ def test_bvh_native_dragon_scale(lib_ok, scenes_dir):
     # sanity: every object appears exactly once in the order permutation
     order = np.asarray(bvh.obj_order)
     assert len(np.unique(order)) == scene.static.n_objects
+
+
+def test_native_traverse_matches_threaded():
+    """The native CPU benchmark traversal (drt_traverse_closest) must
+    find the same winners as the XLA threaded path on a real scene —
+    it is the baseline the bench compares TPU numbers against."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from distributionraytracer_tpu import native
+    from distributionraytracer_tpu.accel.bvh import (
+        build_bvh, make_threaded_intersectors, thread_bvh,
+    )
+    from distributionraytracer_tpu.accel.grid import object_bboxes
+    from distributionraytracer_tpu.scene import load_p3f
+
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    scene = load_p3f(os.path.join(
+        "/root/reference/DistributionRayTracer/P3D_Scenes",
+        "blueDiamond.p3f"))
+    bb = object_bboxes(scene)
+    nmin, nmax, leaf, index, nobjs, order = native.build_bvh_native(
+        bb[:, 0], bb[:, 1])
+    obj12, types, _ = scene.packed_objects()
+    obj12 = np.asarray(jax.device_get(obj12))
+    rng = np.random.default_rng(3)
+    n = 512
+    ctr = (bb[:, 0].min(0) + bb[:, 1].max(0)) / 2
+    ext = float((bb[:, 1].max(0) - bb[:, 0].min(0)).max())
+    o = (ctr + rng.standard_normal((n, 3)) * ext).astype(np.float32)
+    tgt = ctr + rng.uniform(-0.4, 0.4, (n, 3)) * ext
+    d = tgt - o
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    t_cpu, id_cpu = native.traverse_closest_native(
+        (nmin, nmax, leaf, index, nobjs), order, obj12,
+        np.asarray(types, np.int32), o, d)
+    tb = thread_bvh(build_bvh(scene))
+    xla = make_threaded_intersectors(scene.device_put(), tb)
+    h = xla.closest(o, d, np.zeros(n, np.float32))
+    hit_x = np.asarray(h.hit)
+    assert ((id_cpu >= 0) == hit_x).all()
+    m = hit_x
+    np.testing.assert_allclose(t_cpu[m], np.asarray(h.t)[m], rtol=1e-5)
+    assert (id_cpu[m] == np.asarray(h.obj_id)[m]).mean() > 0.995
