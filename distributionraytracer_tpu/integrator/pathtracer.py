@@ -518,28 +518,40 @@ def ray_color(scene: PTScene, cfg: RenderConfig, o, d, time, key):
         interp = jax.default_backend() == "cpu"
         if pallas_pt.pt_bounce_supported(scene):
             # fully fused per-bounce megakernel (closest + shadows +
-            # direct + scatter + RR + sky in one pass); uniforms are
-            # drawn with the same key schedule as the jnp body below,
-            # so the estimator is unchanged
+            # point AND quad direct lighting + scatter + RR + sky in one
+            # pass); uniforms are drawn with the same key schedule as
+            # the jnp body below, so the estimator is unchanged.
+            # Cubemap skies latch (throughput, direction) at the miss
+            # bounce — misses are terminal — and pay ONE texel gather
+            # per sample after the scan (P3D_RT.glsl:661-671).
             def body_fused(carry, k):
-                o, d, col, thr, alive, t_ray = carry
+                o, d, col, thr, alive, t_ray, mw, md = carry
                 ks = jax.random.split(k, 4)
+                uq = jax.random.uniform(ks[0], (R, 2 * max(n_ql, 1)))
                 uch = jax.random.uniform(ks[1], (R,))
                 u3a = jax.random.uniform(ks[2], (R, 3))
                 u3b = jax.random.uniform(ks[3], (R, 3))
                 urr = jax.random.uniform(jax.random.fold_in(k, 7), (R,))
-                o, d, col, thr, alive = pallas_pt.pt_bounce(
+                o, d, col, thr, alive, mw, md = pallas_pt.pt_bounce(
                     scene, o, d, col, thr, alive, t_ray, uch, u3a, u3b,
-                    urr, rr=cfg.russian_roulette, interpret=interp)
+                    urr, uq=uq, miss_w=mw, miss_d=md,
+                    rr=cfg.russian_roulette, interpret=interp)
                 return (o, d, col, thr, alive,
-                        jnp.zeros_like(t_ray)), None
+                        jnp.zeros_like(t_ray), mw, md), None
 
             col = jnp.zeros((R, 3), jnp.float32)
             thr = jnp.ones((R, 3), jnp.float32)
             alive = jnp.ones((R,), bool)
+            mw = jnp.zeros((R, 3), jnp.float32)
+            md = jnp.zeros((R, 3), jnp.float32)
             keys = jax.random.split(key, cfg.max_bounces)
-            (o, d, col, thr, alive, _), _ = jax.lax.scan(
-                body_fused, (o, d, col, thr, alive, time), keys)
+            (o, d, col, thr, alive, _, mw, md), _ = jax.lax.scan(
+                body_fused, (o, d, col, thr, alive, time, mw, md), keys)
+            if scene.sky_mode != SKY_GRADIENT:
+                tex = srgb_to_linear(
+                    gl_cubemap_color(scene.sky_faces, scene.sky_res, md))
+                factor = 3.0 if scene.sky_mode == SKY_CUBEMAP_X3 else 1.0
+                col = col + mw * tex * factor
             return col
         closest_q = lambda o2, d2, t2: pallas_pt.pt_closest(
             scene, o2, d2, t2, interpret=interp)

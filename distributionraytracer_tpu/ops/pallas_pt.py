@@ -356,14 +356,13 @@ def pack_pt_mats(scene):
 
 
 def pt_bounce_supported(scene) -> bool:
-    """Static-only gate (callable on traced scenes): gradient sky and
-    point lights only — quad-light scenes and cubemap skies keep the
-    query-kernel + XLA path."""
-    from distributionraytracer_tpu.integrator.pathtracer import (
-        SKY_GRADIENT,
-    )
-    return (pt_supported(scene) and scene.sky_mode == SKY_GRADIENT
-            and scene.qlight_pos.shape[0] == 0)
+    """Static-only gate (callable on traced scenes).  Since round 5 the
+    kernel covers every GLSL harness scene: quad-light direct lighting
+    (jittered point, NO shadow ray — P3D_RT.glsl:483-523) runs in-kernel
+    and cubemap skies latch the miss state (throughput + direction) for
+    one texel gather per sample after the bounce scan (the gather is the
+    only part that stays XLA — per-index DMA cost, see ops/cubemap)."""
+    return pt_supported(scene)
 
 
 def _norm3(x, y, z):
@@ -375,13 +374,18 @@ def _fresnel_schlick1(cos_t, f0):
     return f0 + (1.0 - f0) * jnp.maximum(1.0 - cos_t, 0.0) ** 5
 
 
-def _bounce_kernel(types, n_pl, rr, data_ref, mats_ref, lights_ref,
+def _bounce_kernel(types, n_pl, n_ql, rr, grad_sky, data_ref, mats_ref,
+                   lights_ref, qlights_ref,
                    ox, oy, oz, dx, dy, dz, tmr,
                    c0, c1, c2, th0, th1, th2, alv,
                    uch, ua0, ua1, ua2, ub0, ub1, ub2, urr,
-                   *outs):
+                   *rest):
+    uq = rest[:2 * n_ql]
+    (mw0, mw1, mw2, md0, md1, md2) = rest[2 * n_ql:2 * n_ql + 6]
+    outs = rest[2 * n_ql + 6:]
     (oxo, oyo, ozo, dxo, dyo, dzo,
-     c0o, c1o, c2o, t0o, t1o, t2o, alvo) = outs
+     c0o, c1o, c2o, t0o, t1o, t2o, alvo,
+     mw0o, mw1o, mw2o, md0o, md1o, md2o) = outs
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
     time = tmr[:]
@@ -483,6 +487,52 @@ def _bounce_kernel(types, n_pl, rr, data_ref, mats_ref, lights_ref,
                                (1.0 - ks_f[k]) * m_alb[k] / PI,
                                m_alb[k] * ndl)
             contrib = ((diff_k + spec_k) * lights_ref[j, 3 + k] * ndl)
+            col[k] = col[k] + jnp.where(gate, contrib * thr[k], 0.0)
+
+    # ---- quad lights: jittered point, NO shadow ray, and the GGX view
+    # sign quirk — BRDF_GGX receives -viewDir = the raw ray direction
+    # while Blinn-H keeps +viewDir (P3D_RT.glsl:483-523) ----
+    for j in range(n_ql):
+        u1 = uq[2 * j][:]
+        u2 = uq[2 * j + 1][:]
+        lpx2 = (qlights_ref[j, 0] + qlights_ref[j, 3] * u1
+                + qlights_ref[j, 6] * u2)
+        lpy2 = (qlights_ref[j, 1] + qlights_ref[j, 4] * u1
+                + qlights_ref[j, 7] * u2)
+        lpz2 = (qlights_ref[j, 2] + qlights_ref[j, 5] * u1
+                + qlights_ref[j, 8] * u2)
+        lx, ly, lz = _norm3(lpx2 - px, lpy2 - py, lpz2 - pz)
+        gx, gy, gz = -vx, -vy, -vz  # GGX view = +normalize(r.d)
+        ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+        # Blinn H with +viewDir
+        hbx, hby, hbz = _norm3(lx + vx, ly + vy, lz + vz)
+        ndh_b = jnp.maximum(nx * hbx + ny * hby + nz * hbz, 0.0)
+        shin = 8.0 / (m_rough ** 4 + EPS) - 2.0
+        spec_b = ndh_b ** shin
+        # GGX with the quirked view
+        hgx, hgy, hgz = _norm3(lx + gx, ly + gy, lz + gz)
+        nov = jnp.maximum(nx * gx + ny * gy + nz * gz, 0.0)
+        ndh = jnp.maximum(nx * hgx + ny * hgy + nz * hgz, 0.0)
+        cos_vh = jnp.maximum(gx * hgx + gy * hgy + gz * hgz, 0.0)
+        alpha2 = (m_rough * m_rough) ** 2
+        bb = ndh * ndh * (alpha2 - 1.0) + 1.0
+        Dg = alpha2 / (PI * bb * bb + EPS)
+        rr_ = 0.25 * m_rough
+        kk = rr_ * rr_ / 2.0
+        g1l = jnp.maximum(ndl, 0.0) / (ndl * (1.0 - kk) + kk + EPS)
+        g1v = jnp.maximum(nov, 0.0) / (nov * (1.0 - kk) + kk + EPS)
+        DG = (Dg * g1l * g1v) / (4.0 * nov * ndl + EPS)
+        ks_f = [_fresnel_schlick1(jnp.maximum(nov, 0.0), m_spec[k])
+                for k in range(3)]
+        lit = (nx * lx + ny * ly + nz * lz) > 0.0
+        gate = live_hit & lit
+        for k in range(3):
+            ggx_k = DG * _fresnel_schlick1(cos_vh, m_spec[k])
+            spec_k = jnp.where(is_gm, ggx_k, m_spec[k] * spec_b)
+            diff_k = jnp.where(is_pla,
+                               (1.0 - ks_f[k]) * m_alb[k] / PI,
+                               m_alb[k] * ndl)
+            contrib = ((diff_k + spec_k) * qlights_ref[j, 9 + k] * ndl)
             col[k] = col[k] + jnp.where(gate, contrib * thr[k], 0.0)
 
     # ---- scatter (common.glsl:300-407) ----
@@ -609,13 +659,29 @@ def _bounce_kernel(types, n_pl, rr, data_ref, mats_ref, lights_ref,
     else:
         killed = jnp.zeros(shape, jnp.bool_)
 
-    # miss: gradient sky (P3D_RT.glsl:659-672, scene-0 mode)
-    tsky = jnp.clip(0.8 * (d[1] + 1.0), 0.0, 1.0)
-    sky = (1.0 - tsky + tsky * 0.5, 1.0 - tsky + tsky * 0.7,
-           1.0 - tsky + tsky * 1.0)
+    # miss (P3D_RT.glsl:659-672): gradient sky folds in-kernel; cubemap
+    # modes latch (throughput, direction) instead — misses are terminal,
+    # so the caller pays ONE texel gather per sample after the scan
     miss = alive & ~hit
-    for k in range(3):
-        col[k] = col[k] + jnp.where(miss, thr[k] * sky[k], 0.0)
+    if grad_sky:
+        tsky = jnp.clip(0.8 * (d[1] + 1.0), 0.0, 1.0)
+        sky = (1.0 - tsky + tsky * 0.5, 1.0 - tsky + tsky * 0.7,
+               1.0 - tsky + tsky * 1.0)
+        for k in range(3):
+            col[k] = col[k] + jnp.where(miss, thr[k] * sky[k], 0.0)
+        mw0o[:] = mw0[:]
+        mw1o[:] = mw1[:]
+        mw2o[:] = mw2[:]
+        md0o[:] = md0[:]
+        md1o[:] = md1[:]
+        md2o[:] = md2[:]
+    else:
+        mw0o[:] = jnp.where(miss, thr[0], mw0[:])
+        mw1o[:] = jnp.where(miss, thr[1], mw1[:])
+        mw2o[:] = jnp.where(miss, thr[2], mw2[:])
+        md0o[:] = jnp.where(miss, d[0], md0[:])
+        md1o[:] = jnp.where(miss, d[1], md1[:])
+        md2o[:] = jnp.where(miss, d[2], md2[:])
 
     alive2 = alive & hit & ok & ~killed
     oxo[:] = jnp.where(alive2, new_ox, o[0])
@@ -634,17 +700,39 @@ def _bounce_kernel(types, n_pl, rr, data_ref, mats_ref, lights_ref,
 
 
 def pt_bounce(scene, o, d, col, thr, alive, time, uch, u3a, u3b, urr,
+              uq=None, miss_w=None, miss_d=None,
               rr: bool = True, interpret: bool = False):
-    """One fused bounce step; state in, state out (see _bounce_kernel)."""
+    """One fused bounce step; state in, state out (see _bounce_kernel).
+
+    ``uq``: (R, 2*n_ql) quad-light jitter uniforms (same key schedule as
+    the jnp body).  ``miss_w``/``miss_d``: (R, 3) latched miss state for
+    cubemap skies (carried through the scan; the caller applies the
+    texel fetch once after the loop)."""
+    from distributionraytracer_tpu.integrator.pathtracer import (
+        SKY_GRADIENT,
+    )
     data, mats, types = pack_pt(scene)
     mrows = pack_pt_mats(scene)
     lights = jnp.concatenate(
         [scene.plight_pos, scene.plight_color], axis=1).astype(jnp.float32)
+    if lights.shape[0] == 0:
+        lights = jnp.zeros((1, 6), jnp.float32)
+    qlights = jnp.concatenate(
+        [scene.qlight_pos, scene.qlight_e1, scene.qlight_e2,
+         scene.qlight_color], axis=1).astype(jnp.float32)
+    if qlights.shape[0] == 0:
+        qlights = jnp.zeros((1, 12), jnp.float32)
     n_pl = scene.plight_pos.shape[0]
+    n_ql = scene.qlight_pos.shape[0]
+    grad_sky = scene.sky_mode == SKY_GRADIENT
     R = o.shape[0]
     rows = max(-(-R // LANES), 1)
     rows = -(-rows // BOUNCE_ROWS) * BOUNCE_ROWS
     grid = rows // BOUNCE_ROWS
+    if miss_w is None:
+        miss_w = jnp.zeros((R, 3), jnp.float32)
+    if miss_d is None:
+        miss_d = jnp.zeros((R, 3), jnp.float32)
 
     pv = lambda a: _pad_view(a, rows)
     rays = [pv(x) for x in (
@@ -653,6 +741,13 @@ def pt_bounce(scene, o, d, col, thr, alive, time, uch, u3a, u3b, urr,
         alive.astype(jnp.float32),
         uch, u3a[:, 0], u3a[:, 1], u3a[:, 2],
         u3b[:, 0], u3b[:, 1], u3b[:, 2], urr)]
+    for j in range(n_ql):
+        rays.append(pv(uq[:, 2 * j]))
+        rays.append(pv(uq[:, 2 * j + 1]))
+    for k in range(3):
+        rays.append(pv(miss_w[:, k]))
+    for k in range(3):
+        rays.append(pv(miss_d[:, k]))
     spec = pl.BlockSpec((BOUNCE_ROWS, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     fshape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
@@ -663,19 +758,27 @@ def pt_bounce(scene, o, d, col, thr, alive, time, uch, u3a, u3b, urr,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec(lights.shape, lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec(qlights.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
     ]
-    kern = functools.partial(_bounce_kernel, types, n_pl, rr)
+    n_in = 22 + 2 * n_ql + 6
+    kern = functools.partial(_bounce_kernel, types, n_pl, n_ql, rr,
+                             grad_sky)
     outs = pl.pallas_call(
         kern, grid=(grid,),
-        in_specs=tab_specs + [spec] * 22,
-        out_specs=[spec] * 13,
-        out_shape=[fshape] * 13,
+        in_specs=tab_specs + [spec] * n_in,
+        out_specs=[spec] * 19,
+        out_shape=[fshape] * 19,
         interpret=interpret,
-    )(data, mrows, lights, *rays)
+    )(data, mrows, lights, qlights, *rays)
     fl = lambda a: a.reshape(-1)[:R]
-    o2 = jnp.stack([fl(outs[0]), fl(outs[1]), fl(outs[2])], axis=-1)
-    d2 = jnp.stack([fl(outs[3]), fl(outs[4]), fl(outs[5])], axis=-1)
-    col2 = jnp.stack([fl(outs[6]), fl(outs[7]), fl(outs[8])], axis=-1)
-    thr2 = jnp.stack([fl(outs[9]), fl(outs[10]), fl(outs[11])], axis=-1)
+    st3 = lambda i: jnp.stack([fl(outs[i]), fl(outs[i + 1]),
+                               fl(outs[i + 2])], axis=-1)
+    o2 = st3(0)
+    d2 = st3(3)
+    col2 = st3(6)
+    thr2 = st3(9)
     alive2 = fl(outs[12]) > 0.0
-    return o2, d2, col2, thr2, alive2
+    mw2 = st3(13)
+    md2 = st3(16)
+    return o2, d2, col2, thr2, alive2, mw2, md2

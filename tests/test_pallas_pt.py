@@ -93,3 +93,38 @@ def test_fused_bounce_matches_jnp():
                                jnp.asarray(o), jnp.asarray(d),
                                jnp.asarray(t), key))
     np.testing.assert_allclose(new, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_fused_bounce_quad_cubemap_scenes():
+    """Round-5 extension: scenes with quad lights and cubemap skies run
+    the fused kernel too (quad direct lighting in-kernel, miss state
+    latched for one post-scan texel gather) and must match the jnp
+    path on the same key schedule."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from distributionraytracer_tpu.config import RenderConfig
+    from distributionraytracer_tpu.integrator.pathtracer import ray_color
+    from distributionraytracer_tpu.ops.pallas_pt import pt_bounce_supported
+    from distributionraytracer_tpu.scene.pt_scenes import SCENE_BUILDERS
+
+    rng = np.random.default_rng(5)
+    for sid in (1, 3):  # quad light + cubemap; Cornell-like emissive box
+        sc = SCENE_BUILDERS[sid]().device_put()
+        assert pt_bounce_supported(sc)
+        R = 256
+        o = np.tile(np.array([[0, 2, -8]], np.float32), (R, 1))
+        tgt = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+        tgt[:, 1] = rng.uniform(0, 3, R)
+        d = tgt - o
+        d = d / np.linalg.norm(d, axis=1, keepdims=True)
+        t = np.zeros(R, np.float32)
+        key = jax.random.PRNGKey(17)
+        cfg = RenderConfig(max_bounces=4)
+        ref = np.asarray(ray_color(sc, cfg.replace(pallas="off"),
+                                   jnp.asarray(o), jnp.asarray(d),
+                                   jnp.asarray(t), key))
+        new = np.asarray(ray_color(sc, cfg.replace(pallas="on"),
+                                   jnp.asarray(o), jnp.asarray(d),
+                                   jnp.asarray(t), key))
+        np.testing.assert_allclose(new, ref, rtol=2e-3, atol=2e-3)
