@@ -440,9 +440,9 @@ def measure_scaling(devs=(1, 2, 4, 8), res=256, spp=8, repeats=3):
 
     sections = {}
     for wname in ("brute", "packet", "train"):
-        # the packet kernel runs interpreted on the CPU mesh: cover the
-        # 1 -> max endpoints only, one repeat
-        wdevs = (1, max(devs)) if wname == "packet" else devs
+        # the packet kernel runs interpreted on the CPU mesh: full device
+        # curve (VERDICT r4 weak #6) but one repeat per point
+        wdevs = devs
         wreps = 1 if wname == "packet" else repeats
         rows = []
         t1 = None

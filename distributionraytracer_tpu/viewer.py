@@ -53,14 +53,41 @@ _PAGE = """<!DOCTYPE html>
  <span id="fps">-- fps</span><span id="spp">0 spp</span>
  <span id="cam"></span>
  <span><kbd>drag</kbd> orbit <kbd>wheel</kbd>/<kbd>right-drag</kbd> zoom
- <kbd>p</kbd> progressive <kbd>r</kbd> reset <kbd>c</kbd> print camera</span>
+ <kbd>p</kbd> progressive <kbd>r</kbd> reset/restart <kbd>c</kbd> print
+ camera <kbd>space</kbd> pause <kbd>v</kbd> record webm</span>
 </div>
 <img id="view" width="__W__" height="__H__">
+<canvas id="rec" width="__W__" height="__H__" style="display:none"></canvas>
 <script>
 let st = null;
 let tracking = 0, sx = 0, sy = 0, a0 = 0, b0 = 0, r0 = 0;
 let frames = 0, t0 = performance.now(), busy = false;
+let paused = false;            // pause/restart UI (P3D_RT.html:2301-2342)
+let recorder = null, chunks = [];
 const view = document.getElementById('view');
+const rec = document.getElementById('rec');
+
+function toggleRecord() {      // webm capture (P3D_RT.html:2342)
+  if (recorder) {
+    recorder.stop();
+    return;
+  }
+  chunks = [];
+  recorder = new MediaRecorder(rec.captureStream(30),
+                               { mimeType: 'video/webm' });
+  recorder.ondataavailable = e => { if (e.data.size) chunks.push(e.data); };
+  recorder.onstop = () => {
+    const url = URL.createObjectURL(new Blob(chunks,
+                                             { type: 'video/webm' }));
+    const a = document.createElement('a');
+    a.href = url; a.download = 'capture.webm'; a.click();
+    URL.revokeObjectURL(url);
+    recorder = null;
+    document.getElementById('fps').style.color = '';
+  };
+  recorder.start();
+  document.getElementById('fps').style.color = '#f55';
+}
 
 async function init() {
   st = await (await fetch('/state')).json();
@@ -71,14 +98,17 @@ function camParams() {
          `&progressive=${st.progressive ? 1 : 0}`;
 }
 async function loop() {
-  if (!busy) {
+  if (!busy && !paused) {
     busy = true;
     try {
       const resp = await fetch('/frame?' + camParams());
       st.spp = parseFloat(resp.headers.get('X-Samples') || '0');
       const blob = await resp.blob();
       const url = URL.createObjectURL(blob);
-      view.onload = () => URL.revokeObjectURL(url);
+      view.onload = () => {
+        rec.getContext('2d').drawImage(view, 0, 0);  // feed the recorder
+        URL.revokeObjectURL(url);
+      };
       view.src = url;
       frames++;
       const now = performance.now();
@@ -117,7 +147,13 @@ view.addEventListener('wheel', e => {        // mouseWheel (main.cpp:884-895)
   e.preventDefault();
 });
 window.addEventListener('keydown', async e => {
-  if (e.key === 'p') st.progressive = !st.progressive;
+  if (e.key === ' ') {         // pause: no new samples until resumed
+    paused = !paused;
+    document.getElementById('spp').style.opacity = paused ? 0.4 : 1;
+    e.preventDefault();
+  }
+  else if (e.key === 'v') toggleRecord();
+  else if (e.key === 'p') st.progressive = !st.progressive;
   else if (e.key === 'r') st = await (await fetch('/reset')).json();
   else if (e.key === 's') {
     const r = await (await fetch('/screenshot')).json();

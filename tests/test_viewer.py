@@ -120,3 +120,15 @@ def test_pt_viewer_screenshot(pt_server, tmp_path_factory):
     out = json.loads(body)
     assert out["path"] == str(p)
     assert p.exists() and p.stat().st_size > 100
+
+
+def test_page_has_capture_and_pause_ui():
+    """Viewer parity with the WebGL harness's capture extras
+    (P3D_RT.html:2301-2342): webm recording (MediaRecorder over a canvas
+    fed from each frame) and a pause/restart control."""
+    from distributionraytracer_tpu.viewer import _PAGE
+    assert "MediaRecorder" in _PAGE
+    assert "capture.webm" in _PAGE
+    assert "paused" in _PAGE and "toggleRecord" in _PAGE
+    # restart = the reset route the 'r' key hits
+    assert "/reset" in _PAGE
