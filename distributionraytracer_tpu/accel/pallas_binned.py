@@ -327,15 +327,21 @@ class LightBins(NamedTuple):
     light->scene-center; a shadow ray from a point inside the scene
     bounds always maps into it).  ``tile_start`` (L*K*K + 1,) i32 CSR
     with x-fastest tile order so one (light, row, tx0..tx1) span is a
-    contiguous entry range; ``entries`` (Q,) i32 group ids; ``frames``
-    (L, 16) f32 rows [Lpos3, u3, v3, w3, sx, sy, pad2]."""
+    contiguous entry range; ``frames`` (L, 16) f32 rows [Lpos3, u3, v3,
+    w3, sx, sy, pad2].  ``slab`` (120, Qpad) f32 is the dense
+    entry-parameter table the kernel streams (rows 0..111 = the entry's
+    grouped-object column, rows 112..119 = the group's min distance
+    from the light, replicated): entries within a tile sort ascending
+    by that distance, so a chain stops a span once the distance passes
+    its lanes' max |origin - light| (an occluder on segment [o, L] is
+    nearer the light than o)."""
 
     tile_start: jnp.ndarray
-    entries: jnp.ndarray
     frames: jnp.ndarray
+    slab: jnp.ndarray
 
 
-def build_light_bins(scene: SceneData, gbox: np.ndarray,
+def build_light_bins(scene: SceneData, gbox: np.ndarray, tabs,
                      K: int = LIGHT_K) -> Optional[LightBins]:
     """Conservative per-light frustum binning of object groups.
 
@@ -432,27 +438,37 @@ def build_light_bins(scene: SceneData, gbox: np.ndarray,
         px = tx0[rep] + k2 % ntx[rep]
         py = ty0[rep] + k2 // ntx[rep]
         tile = py * K + px
-        order = np.argsort(tile, kind="stable")
+        # min distance from the light to the group AABB: the span cut
+        # key (entries sort ascending by it within each tile)
+        dv = np.maximum(np.maximum(bmin - Lp, Lp - bmax), 0.0)
+        gd = np.sqrt((dv * dv).sum(axis=1)).astype(np.float32)
+        order = np.lexsort((gd[rep], tile))
         ent = gids[rep[order]].astype(np.int32)
         tstart = np.searchsorted(tile[order],
                                  np.arange(K * K)).astype(np.int64)
         all_start.append(tstart)
-        all_entries.append(ent)
+        all_entries.append((ent, gd[rep[order]]))
 
     # concatenate per-light CSRs with running offsets; final sentinel
-    offs = np.cumsum([0] + [e.size for e in all_entries])
+    offs = np.cumsum([0] + [e[0].size for e in all_entries])
     start = np.concatenate(
         [all_start[i] + offs[i] for i in range(L)] + [offs[-1:]])
-    entries = np.concatenate(all_entries) if offs[-1] else np.zeros(
-        (1,), np.int32)
-    # entries live in VMEM as (Q/128, 128) rows (they can exceed the
-    # ~1 MB SMEM budget on mesh scenes); tile_start stays SMEM
+    entries = (np.concatenate([e[0] for e in all_entries])
+               if offs[-1] else np.zeros((1,), np.int32))
+    edist = (np.concatenate([e[1] for e in all_entries])
+             if offs[-1] else np.full((1,), FLT_MAX, np.float32))
     Q = max(-(-entries.size // P_BUCKET) * P_BUCKET, P_BUCKET)
-    ent_p = np.zeros((Q,), np.int32)
+    ent_p = np.zeros((Q,), np.int64)
     ent_p[:entries.size] = entries
+    dist_p = np.full((Q,), FLT_MAX, np.float32)
+    dist_p[:entries.size] = edist
+    # dense entry-parameter slab, HBM-resident, streamed by the kernel
+    idsj = jnp.asarray(ent_p.astype(np.int32))
+    cols = jnp.take(tabs.obj_g, jnp.maximum(idsj, 0), axis=1)
+    drow = jnp.broadcast_to(jnp.asarray(dist_p)[None, :], (8, Q))
+    slab = jnp.concatenate([cols, drow], axis=0)  # (120, Q)
     return LightBins(tile_start=jnp.asarray(start.astype(np.int32)),
-                     entries=jnp.asarray(ent_p.reshape(-1, LANES)),
-                     frames=jnp.asarray(frames))
+                     frames=jnp.asarray(frames), slab=slab)
 
 
 # ------------------------------------------------------------------ kernels
@@ -582,38 +598,43 @@ def _make_binned_closest_kernel(types_present, motion_blur):
     return kernel
 
 
-def _make_binned_shadow_kernel(types_present, motion_blur, shadow_mode,
-                               n_lights, K):
+def _make_binned_shadow_kernel(types_present, motion_blur, shadow_mode, K):
     from distributionraytracer_tpu.accel.pallas_packet import (
         _prim_test_grouped,
     )
 
-    def kernel(ts_ref, ent_ref, fr_ref, lid_ref, obj_ref,
-               ox, oy, oz, dx, dy, dz, dist, vd, occ_ref):
-        # BRANCHLESS interleaved design (the lesson of pallas_packet and
-        # of this kernel's own first version): the 8 chains of a tile
-        # step TOGETHER in one while loop, one candidate column each per
-        # iteration, so their fetch->test->update dependency chains
-        # overlap instead of serializing.  Per-chain scalar state
-        # (tile-row cursor ty, entry cursor j, row end re) advances
-        # branchlessly; exhausted or fully-occluded chains park.
-        i = pl.program_id(0)
+    def kernel(ts_ref, fr_ref, lid_ref, slab_ref,
+               ox, oy, oz, dx, dy, dz, dist, vd, occ_ref, buf, sem):
+        # Same shape as the binned closest kernel: one grid step per ray
+        # tile (static block index maps), chains handled sequentially,
+        # the dense entry-parameter slab DMA-streamed from HBM in
+        # (120, 128) windows.  Each chain tests only the entry spans of
+        # the light-frustum tile rows its lanes cover, gated per column
+        # by (a) span membership and (b) the light-distance cut: an
+        # occluder on segment [origin, light] is nearer the light than
+        # the origin, so entries beyond max |o - L| cannot occlude.
         shape = (GROUP, LANES)
         occ_ref[:] = jnp.zeros((CHAINS, LANES), jnp.float32)
         fK = np.float32(K)
-        qmax = jnp.int32(ent_ref.shape[0] * LANES - 1)
+        ti = pl.program_id(0)
+        nwin = slab_ref.shape[1] // LANES
 
-        per = []  # per-chain static context
+        def get_dma(w):
+            off = pl.multiple_of(w * LANES, LANES)
+            return pltpu.make_async_copy(
+                slab_ref.at[:, pl.ds(off, LANES)], buf, sem)
+
         for ci in range(CHAINS):
             o_r = (ox[ci:ci + 1, :], oy[ci:ci + 1, :], oz[ci:ci + 1, :])
             o_b = tuple(jnp.broadcast_to(r, shape) for r in o_r)
             d_b = tuple(jnp.broadcast_to(r[ci:ci + 1, :], shape)
                         for r in (dx, dy, dz))
             inv_b = tuple(1.0 / dk for dk in d_b)
+            time_b = jnp.zeros(shape, jnp.float32)  # shadow: time = 0
             sd = dist[ci:ci + 1, :]
             valid = vd[ci:ci + 1, :] > 0.0
 
-            c = i * CHAINS + ci
+            c = ti * CHAINS + ci
             li = lid_ref[c]
             base = li * 16
             Lx, Ly, Lz = (fr_ref[base + 0], fr_ref[base + 1],
@@ -634,81 +655,79 @@ def _make_binned_shadow_kernel(types_present, motion_blur, shadow_mode,
             tyf = jnp.clip((tv / sy) * 0.5 + 0.5, 0.0, 1.0) * fK
             tx = jnp.clip(txf.astype(jnp.int32), 0, K - 1)
             ty = jnp.clip(tyf.astype(jnp.int32), 0, K - 1)
-            # chain tile bbox over live lanes (dead lanes excluded)
             big = jnp.int32(K)
             tx0 = jnp.min(jnp.where(valid, tx, big))
             tx1 = jnp.max(jnp.where(valid, tx, -1))
             ty0 = jnp.min(jnp.where(valid, ty, big))
             ty1 = jnp.max(jnp.where(valid, ty, -1))  # -1: all dead
             tbase = li * (K * K)
-            rowarg = lambda t, tb=tbase, t1=ty1, x=tx0: (
-                tb + jnp.clip(t, 0, jnp.maximum(t1, 0)) * K + x)
-            rowend = lambda t, tb=tbase, t1=ty1, x=tx1: (
-                tb + jnp.clip(t, 0, jnp.maximum(t1, 0)) * K + x + 1)
-            per.append(dict(o_b=o_b, d_b=d_b, inv_b=inv_b, sd=sd,
-                            valid=valid, ty0=ty0, ty1=ty1,
-                            rowarg=rowarg, rowend=rowend))
+            # light-distance cut bound over live lanes
+            od2 = vx * vx + vy * vy + vz * vz
+            maxd = jnp.sqrt(jnp.maximum(jnp.max(
+                jnp.where(valid, od2, 0.0)), 0.0)) + np.float32(1e-3)
 
-        def chain_step(ci, st):
-            P = per[ci]
-            ty, j, re = st
-            alive = ty <= P["ty1"]
-            gate = alive & (j < re)
-            jsafe = jnp.minimum(j, qmax)
-            # scalar id from the VMEM entry table: dynamic-sublane row
-            # load + lane roll (no dynamic-lane scalar indexing)
-            erow = ent_ref[pl.ds(jsafe // LANES, 1), :]
-            og = pltpu.roll(erow, shift=LANES - (jsafe % LANES),
-                            axis=1)[0, 0]
-            fldo, _ = _fetch_col(obj_ref, og)
-            t_c, _ = _prim_test_grouped(
-                fldo, P["o_b"], P["d_b"], P["inv_b"],
-                jnp.zeros(shape, jnp.float32), types_present,
-                motion_blur)
-            if shadow_mode == "grid":
-                hit = t_c < P["sd"]  # strict (grid.cpp:330-352)
-            else:
-                hit = t_c <= P["sd"] + EPSILON  # bvh.cpp:376
-            anyh = jnp.any(hit, axis=0, keepdims=True) & gate
-            occ = jnp.where(P["valid"] & anyh, 1.0,
-                            occ_ref[ci:ci + 1, :])
-            occ_ref[ci:ci + 1, :] = occ
-            all_occ = ~jnp.any(P["valid"] & (occ == 0.0))
-            # branchless advance: next entry, next tile row on row end,
-            # park past ty1 once every live lane is occluded
-            j2 = j + 1
-            row_done = j2 >= re
-            ty2 = jnp.where(row_done, ty + 1, ty)
-            ty2 = jnp.where(all_occ, P["ty1"] + 1, ty2)
-            rs_n = ts_ref[P["rowarg"](ty2)]
-            re_n = ts_ref[P["rowend"](ty2)]
-            moved = row_done | all_occ
-            return (ty2, jnp.where(moved, rs_n, j2),
-                    jnp.where(moved, re_n, re))
+            def row_body(ty_j, _, ci=ci, tbase=tbase, tx0=tx0, tx1=tx1,
+                         valid=valid, o_b=o_b, d_b=d_b, inv_b=inv_b,
+                         time_b=time_b, sd=sd, maxd=maxd):
+                rs = ts_ref[tbase + ty_j * K + tx0]
+                re = ts_ref[tbase + ty_j * K + tx1 + 1]
+                w0 = rs // LANES
+                w1 = jnp.minimum((re + LANES - 1) // LANES,
+                                 jnp.int32(nwin))
 
-        def cond(s):
-            active = None
-            for ci in range(CHAINS):
-                a = s[3 * ci] <= per[ci]["ty1"]
-                active = a if active is None else (active | a)
-            return active
+                def win_body(w, _):
+                    occ_row = occ_ref[ci:ci + 1, :]
+                    live = jnp.any(valid & (occ_row == 0.0))
 
-        def body(s):
-            out = []
-            for ci in range(CHAINS):
-                out.extend(chain_step(ci, s[3 * ci:3 * ci + 3]))
-            return tuple(out)
+                    @pl.when(live)
+                    def _(w=w):
+                        dma = get_dma(w)
+                        dma.start()
+                        dma.wait()
+                        blk = buf[:]
+                        for sb in range(SUB):
+                            j0 = w * LANES + sb * BLK
+                            # sub-block overlap + distance-cut gates
+                            dmin = jnp.min(blk[
+                                14 * GROUP:14 * GROUP + 1,
+                                sb * BLK:(sb + 1) * BLK])
+                            ok_sb = ((j0 + BLK > rs) & (j0 < re)
+                                     & (dmin <= maxd))
 
-        init = []
-        for ci in range(CHAINS):
-            P = per[ci]
-            ty0 = P["ty0"]
-            rs0 = ts_ref[P["rowarg"](ty0)]
-            re0 = ts_ref[P["rowend"](ty0)]
-            # all-dead chains start parked (ty = 0 > ty1 = -1)
-            init.extend([jnp.where(P["ty1"] >= 0, ty0, jnp.int32(0)),
-                         rs0, re0])
-        jax.lax.while_loop(cond, body, tuple(init))
+                            @pl.when(ok_sb)
+                            def _(sb=sb, j0=j0):
+                                occ = occ_ref[ci:ci + 1, :]
+                                for j in range(BLK):
+                                    jj = sb * BLK + j
+                                    fld = lambda f, jj=jj: blk[
+                                        f * GROUP:(f + 1) * GROUP,
+                                        jj:jj + 1]
+                                    t_c, _n = _prim_test_grouped(
+                                        fld, o_b, d_b, inv_b, time_b,
+                                        types_present, motion_blur)
+                                    if shadow_mode == "grid":
+                                        hit = t_c < sd  # grid.cpp:330
+                                    else:
+                                        hit = t_c <= sd + EPSILON
+                                    dj = blk[14 * GROUP:14 * GROUP + 1,
+                                             jj:jj + 1]
+                                    idx_ok = ((j0 + j >= rs)
+                                              & (j0 + j < re)
+                                              & (dj[0, 0] <= maxd))
+                                    anyh = (jnp.any(hit, axis=0,
+                                                    keepdims=True)
+                                            & idx_ok)
+                                    occ = jnp.where(valid & anyh, 1.0,
+                                                    occ)
+                                occ_ref[ci:ci + 1, :] = occ
+                    return 0
+
+                jax.lax.fori_loop(w0, w1, win_body, 0)
+                return 0
+
+            @pl.when(ty1 >= 0)
+            def _(ty0=ty0, ty1=ty1, row_body=row_body):
+                jax.lax.fori_loop(ty0, ty1 + 1, row_body, 0)
 
     return kernel
 
@@ -788,24 +807,24 @@ def binned_shadow(scene: SceneData, tabs, lbins: LightBins, light_id,
     lid = _pad_rows(light_id.astype(jnp.float32),
                     Cp)[:, 0].astype(jnp.int32)
     kern = _make_binned_shadow_kernel(
-        types_present, motion_blur, shadow_mode,
-        scene.static.n_lights, K)
+        types_present, motion_blur, shadow_mode, K)
     row_spec = pl.BlockSpec((CHAINS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    obj_spec = pl.BlockSpec(tabs.obj_g.shape, lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    ent_spec = pl.BlockSpec(lbins.entries.shape, lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    slab_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
     occ = pl.pallas_call(
         kern,
         grid=(Cp // CHAINS,),
-        in_specs=[smem, ent_spec, smem, smem, obj_spec] + [row_spec] * 8,
+        in_specs=[smem, smem, smem, slab_spec] + [row_spec] * 8,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((Cp, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((15 * GROUP, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
-    )(lbins.tile_start, lbins.entries,
-      lbins.frames.reshape(-1), lid, tabs.obj_g, *rays)
+    )(lbins.tile_start, lbins.frames.reshape(-1), lid, lbins.slab,
+      *rays)
     return occ.reshape(-1)[:R] > 0.0
 
 
@@ -830,12 +849,15 @@ def binned_supported(scene: SceneData, cfg) -> bool:
     return st.n_objects > 0
 
 
-# The light-frustum shadow kernel currently loses to the packet walker
-# (measured 1.37 s vs 43 ms on dragon's primary shadow batch: per-chain
-# tile-bbox unions x K=128 multi-tile duplication x depth stacking give
-# it ~100-500 columns/chain, each paying a dynamic roll-fetch).  Off
-# until the dense-slab DMA rework lands; closest-binning alone carries
-# the mesh-scene win.
+# Light-frustum shadow binning switch.  Two generations were measured
+# against the grouped packet walker's any-hit on dragon's primary
+# shadow batch and both LOST: the roll-fetch version at 1.37 s and the
+# dense-slab DMA version at ~0.2 s vs the walker's 17-43 ms.  Root
+# cause: shadow spans per (chain, tile-row) are short (~10-30 entries
+# after the light-distance cut), so a (120, 128) DMA window mostly
+# streams columns the chain does not need, while the walker's any-hit
+# early-exits on tight per-packet unions.  Kept for the record and the
+# interpret-mode tests; off in production routing.
 SHADOW_BINNING = False
 
 

@@ -304,7 +304,7 @@ class Renderer:
         self._bins_tabs = tabs
         self._gbox = _pb.group_boxes(scene, tabs)
         if _pb.SHADOW_BINNING:
-            lb = _pb.build_light_bins(scene, self._gbox)
+            lb = _pb.build_light_bins(scene, self._gbox, tabs)
             if lb is not None and _pb.shadow_binning_ok(scene, lb):
                 self._light_bins = jax.device_put(lb)
 

@@ -40,9 +40,17 @@ def _cfg():
 
 
 def _render_pair(scene):
+    from distributionraytracer_tpu.accel import pallas_binned as _pb
     r = Renderer(scene, _cfg())
     assert r._gbox is not None, "binned route should be eligible"
-    assert r._light_bins is not None, "shadow bins should build"
+    if _pb.SHADOW_BINNING:
+        assert r._light_bins is not None, "shadow bins should build"
+    else:
+        # exercise the shadow kernel in interpret mode even while the
+        # production routing keeps the packet walker (see SHADOW_BINNING)
+        lb = _pb.build_light_bins(scene, r._gbox, r._bins_tabs)
+        if lb is not None and _pb.shadow_binning_ok(scene, lb):
+            r._light_bins = jax.device_put(lb)
     img_b = np.asarray(r.render(jax.random.PRNGKey(0)))
     backend = r.executed_backend()
     r._gbox = None  # force the packet-only path
