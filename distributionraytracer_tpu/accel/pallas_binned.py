@@ -472,15 +472,6 @@ def build_light_bins(scene: SceneData, gbox: np.ndarray, tabs,
 
 
 # ------------------------------------------------------------------ kernels
-def _fetch_col(obj_ref, og):
-    """Dynamic 8-object column fetch from the grouped object table
-    (same aligned-block-load + lane-roll as pallas_packet)."""
-    obase = pl.multiple_of((og // LANES) * LANES, LANES)
-    oblk = obj_ref[:, pl.ds(obase, LANES)]
-    ocol = pltpu.roll(oblk, shift=LANES - (og % LANES), axis=1)
-    return lambda f: ocol[f * GROUP:(f + 1) * GROUP, 0:1], ocol
-
-
 def _make_binned_closest_kernel(types_present, motion_blur):
     from distributionraytracer_tpu.accel.pallas_packet import (
         _prim_test_grouped,
