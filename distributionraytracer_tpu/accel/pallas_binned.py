@@ -747,7 +747,6 @@ def binned_closest(scene: SceneData, tabs, bins: PrimaryBins,
     C = bins.chain_start.shape[0] - 1
     assert -(-R // LANES) == C, (R, C)
     Cp = _pad_chains(C)
-    B = bins.blk_owner.shape[0]
     vd = (jnp.ones((R,), jnp.float32) if valid is None
           else valid.astype(jnp.float32))
     rays = [_pad_rows(x, Cp) for x in
