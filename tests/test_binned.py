@@ -120,3 +120,38 @@ def test_primary_bins_cover_hits():
         if group_of[oid[lane]] not in set(bins.cand[s:e].tolist()):
             miss += 1
     assert miss == 0, miss
+
+
+def test_binned_eligibility_fallbacks():
+    """Routing must refuse configurations the conservative-superset
+    argument does not cover, falling back to the packet path."""
+    import dataclasses
+
+    from distributionraytracer_tpu.accel import pallas_binned as _pb
+    from distributionraytracer_tpu.config import RenderConfig
+    from distributionraytracer_tpu.scene import load_p3f
+
+    scenes = "/root/reference/DistributionRayTracer/P3D_Scenes"
+    cfg = RenderConfig(spp=0)
+    # balls_low has infinite planes -> ineligible
+    bl = load_p3f(f"{scenes}/balls_low.p3f")
+    assert not _pb.binned_supported(bl, cfg)
+    # motion blur -> ineligible
+    bd = load_p3f(f"{scenes}/blueDiamond.p3f")
+    assert _pb.binned_supported(bd, cfg)
+    assert not _pb.binned_supported(bd, cfg.replace(motion_blur=True))
+    assert not _pb.binned_supported(bd, cfg.replace(dof=True))
+    # light INSIDE the scene bounds -> no shadow bins
+    import jax
+    import numpy as np
+    from distributionraytracer_tpu.renderer import Renderer
+    r = Renderer(bd, RenderConfig(spp=0, accel_backend="pallas",
+                                  accel_cost_threshold=0))
+    live = r._gbox[:, 6] > 0
+    center = (r._gbox[live, 0:3].min(0) + r._gbox[live, 3:6].max(0)) / 2
+    inside = dataclasses.replace(
+        bd, light_pos=np.broadcast_to(
+            center, np.asarray(bd.light_pos).shape).copy())
+    assert _pb.build_light_bins(inside, r._gbox, r._bins_tabs) is None
+    # chain-grid refuses a non-dividing resolution
+    assert _pb._chain_grid(50, 77, 1) is None
