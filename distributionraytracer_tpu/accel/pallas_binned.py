@@ -840,12 +840,14 @@ def binned_supported(scene: SceneData, cfg) -> bool:
 
 
 # Light-frustum shadow binning switch.  Two generations were measured
-# against the grouped packet walker's any-hit on dragon's primary
-# shadow batch and both LOST: the roll-fetch version at 1.37 s and the
-# dense-slab DMA version at ~0.2 s vs the walker's 17-43 ms.  Root
-# cause: shadow spans per (chain, tile-row) are short (~10-30 entries
-# after the light-distance cut), so a (120, 128) DMA window mostly
-# streams columns the chain does not need, while the walker's any-hit
+# against the grouped packet walker's any-hit and both LOST: the
+# roll-fetch version at 1.37 s and the dense-slab DMA version at ~0.2 s
+# vs the walker's 17-43 ms on dragon's grid-mode shadow batch, and
+# 222 ms vs 86 ms on dragon_assignment1's BVH-mode batch (real light
+# distances; results bit-identical in both tests).  Root cause: shadow
+# spans per (chain, tile-row) are short (~10-30 entries after the
+# light-distance cut), so a (120, 128) DMA window mostly streams
+# columns the chain does not need, while the walker's any-hit
 # early-exits on tight per-packet unions.  Kept for the record and the
 # interpret-mode tests; off in production routing.
 SHADOW_BINNING = False
