@@ -32,11 +32,13 @@ def loop_gather(tb, idx, n):
 
 
 def timeit(fn, reps=3):
-    jax.block_until_ready(fn())
+    # force a scalar device->host fetch: on axon, block_until_ready on
+    # an unfetched array can return before execution (PARITY r5 notes)
+    float(fn())
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        float(fn())
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
