@@ -63,6 +63,11 @@ PAD_PX = 2.0  # conservative screen-projection padding (pixel jitter +1)
 # per-ray depth complexity while tile_start (L*K^2) stays SMEM-sized.
 LIGHT_K = 128
 P_BUCKET = 16384  # candidate-array padding bucket (bounds recompiles)
+# chain-count cap: the per-camera candidate slab costs ~#cands * 448 B
+# of HBM (~75 MB on dragon's 3.7k chains); past ~16k chains (high-spp
+# mesh frames) the build cost and slab size stop paying for themselves
+# and the packet walker takes the frame instead
+MAX_CHAINS = 16384
 
 
 # --------------------------------------------------------------- group boxes
@@ -182,6 +187,8 @@ def build_primary_bins(scene: SceneData, gbox: np.ndarray, tabs,
         return None
     rw, rh, grid = cg
     C = grid.size
+    if C > MAX_CHAINS:
+        return None  # high-spp / huge frames: slab memory would balloon
     eye, u, v, n, pd, w, h = _host_camera(scene)
 
     live = gbox[:, 6] > 0
